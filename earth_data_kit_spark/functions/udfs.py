@@ -1,0 +1,145 @@
+"""Vectorized pandas/Arrow UDFs (the only Python that runs on
+executors — input_hint: "no per-row Python" means no row-at-a-time
+``F.udf``; every UDF here receives Arrow batches and loops in numpy
+or tight C-backed code).
+
+Each UDF wraps the identical pure function from grid/ or text/, so
+the single-node oracle used by tests and the distributed run are the
+same code path (per-row invariant, SURVEY.md §5.3-3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from earth_data_kit_spark.grid import cells, geom
+from earth_data_kit_spark.text import analysis
+from earth_data_kit_spark.text.extract import extract_text, text_sha256
+from earth_data_kit_spark.text.geocode import geocode
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(lambda b: extract_text(b) if b is not None else None)
+
+
+@F.pandas_udf(T.StringType())
+def text_sha256_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: text_sha256(t) if t is not None else None)
+
+
+@F.pandas_udf(T.StructType([T.StructField("lat", T.DoubleType()), T.StructField("lon", T.DoubleType()), T.StructField("method", T.StringType())]))
+def geocode_udf(url: pd.Series, text: pd.Series) -> pd.DataFrame:
+    out = [geocode(u or "", t or "") for u, t in zip(url, text)]
+    return pd.DataFrame(out, columns=["lat", "lon", "method"])
+
+
+def cell_id_udf(res: int):
+    """Factory: quadgrid cell id at a fixed resolution.  (The pure-
+    Column twin in columns.py is preferred in plans — this UDF exists
+    for pipelines already inside a pandas stage.)"""
+
+    @F.pandas_udf(T.LongType())
+    def _cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(cells.cell_id(lon.values, lat.values, res))
+
+    return _cell
+
+
+def zorder_id_udf(res: int):
+    @F.pandas_udf(T.LongType())
+    def _z(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(cells.zorder_id(lon.values, lat.values, res))
+
+    return _z
+
+
+def pip_refine_udf(polygons: dict[str, str]):
+    """Factory: exact ray-cast refinement for the cell-prefiltered
+    spatial join (J1).  ``polygons`` maps code → WKT POLYGON; the
+    parsed rings ride to executors in the task closure (small —
+    equivalently a broadcast variable).  Returns a boolean per row:
+    point (lon, lat) strictly inside polygons[code].
+    """
+    parsed = {
+        code: geom.parse_wkt_polygon(wkt) for code, wkt in polygons.items()
+    }
+
+    @F.pandas_udf(T.BooleanType())
+    def _pip(lon: pd.Series, lat: pd.Series, code: pd.Series) -> pd.Series:
+        lons = lon.values.astype(np.float64)
+        lats = lat.values.astype(np.float64)
+        out = np.zeros(len(lons), dtype=bool)
+        codes = code.values
+        for c in pd.unique(codes):
+            # total over all codes: Spark gives no short-circuit
+            # guarantee, so rows guarded by other predicates may
+            # still reach the UDF — unknown codes are simply False
+            if c not in parsed:
+                continue
+            shell, holes = parsed[c]
+            m = codes == c
+            out[m] = geom.point_in_polygon(lons[m], lats[m], shell, holes)
+        return pd.Series(out)
+
+    return _pip
+
+
+@F.pandas_udf(T.StringType())
+def detect_lang_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: analysis.detect_lang(t or ""))
+
+
+@F.pandas_udf(T.DoubleType())
+def quality_score_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: analysis.quality_score(t or ""))
+
+
+@F.pandas_udf(T.IntegerType())
+def token_count_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: analysis.token_count(t or "")).astype("int32")
+
+
+@F.pandas_udf(T.LongType())
+def fingerprint64_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: analysis.fingerprint64(t or ""))
+
+
+@F.pandas_udf(T.LongType())
+def simhash64_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: analysis.simhash64(t or ""))
+
+
+def minhash_sig_udf(num_perm: int = 64, k: int = 5):
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(text: pd.Series) -> pd.Series:
+        # multiply-shift minhash values are < 2^63, so they fit bigint
+        return text.map(lambda t: analysis.minhash_signature(t or "", num_perm, k))
+
+    return _sig
+
+
+def minhash_bands_udf(bands: int = 16):
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _bands(sig: pd.Series) -> pd.Series:
+        return sig.map(lambda s: analysis.minhash_bands(list(s), bands))
+
+    return _bands
+
+
+def shingle_hashes_udf(k: int = 5):
+    """Distinct 63-bit shingle hashes per document (for exact n-gram
+    Jaccard via explode + SQL agg)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sh(text: pd.Series) -> pd.Series:
+        return text.map(
+            lambda t: sorted(
+                {analysis._h64(s.encode("utf-8")) & 0x7FFFFFFFFFFFFFFF for s in analysis.shingles(t or "", k)}
+            )
+        )
+
+    return _sh

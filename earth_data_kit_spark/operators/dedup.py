@@ -1,0 +1,182 @@
+"""Deduplication suite for web-scale training data (first-class per
+the build brief): exact, MinHash+LSH, SimHash, exact n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design notes (100 TB posture):
+* exact: one hash-shuffle on a 16-byte digest — the canonical
+  map-side-combinable groupBy; no skew (hashes are uniform).
+* minhash-LSH: signatures are computed in one Arrow-batched pandas
+  UDF pass; candidate generation explodes ``bands`` keys (constant
+  fan-out) and self-joins per band bucket.  Bucket sizes are bounded
+  in practice; a bucket-size cap guards against degenerate buckets
+  (all-empty docs), which is the real-world skew failure mode.
+* simhash: same shape with 4×16-bit band keys.
+* verification joins compare signatures (already shuffled with the
+  candidates) — full texts are only re-read for the final exact
+  n-gram check when requested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from earth_data_kit_spark.functions.udfs import (
+    minhash_bands_udf,
+    minhash_sig_udf,
+    shingle_hashes_udf,
+    simhash64_udf,
+)
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest id per identical text (md5 equality).  Returns
+    (<id_col>, n_dups) per kept representative."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+        .select(id_col, "n_dups")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs with estimated Jaccard ≥
+    threshold.  Output: (id_a, id_b, est_jaccard), id_a < id_b.
+
+    est_jaccard = fraction of equal minhash slots (the unbiased
+    MinHash estimator).  ``max_bucket`` drops degenerate LSH buckets
+    (skew guard — a bucket of B docs yields B² candidate pairs).
+    """
+    sig_udf = minhash_sig_udf(num_perm, shingle_k)
+    band_udf = minhash_bands_udf(bands)
+    sigs = df.select(
+        F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig")
+    ).withColumn("band_key", F.explode(band_udf(F.col("sig"))))
+
+    # skew guard: drop degenerate buckets
+    sizes = sigs.groupBy("band_key").count().where(F.col("count") <= max_bucket)
+    sigs = sigs.join(F.broadcast(sizes.select("band_key")), "band_key")
+
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(float(num_perm))
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit simhash banded into 4×16-bit
+    keys (any pair within hamming ≤ 3 of each other shares at least
+    one exact 16-bit band — pigeonhole), then exact hamming filter.
+    Output: (id_a, id_b, hamming)."""
+    sh = df.select(F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("sh"))
+    banded = sh.select(
+        "id", "sh", F.explode(F.array(*[
+            F.concat_ws(":", F.lit(i), F.shiftright("sh", 16 * i).bitwiseAND(F.lit(0xFFFF)).cast("string"))
+            for i in range(4)
+        ])).alias("band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(xor).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """EXACT n-gram Jaccard via explode + SQL aggregation (no pairwise
+    UDF): |A∩B| from a self-join on shingle hash, |A∪B| = |A|+|B|−∩.
+    Output: (id_a, id_b, jaccard).  Quadratic only within documents
+    sharing shingles — the classic inverted-index trick."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_hashes_udf(shingle_k)(F.col(text_col))).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_threshold: float = 0.95,
+    n_planes: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-dup: sign-random-projection LSH bucket →
+    exact cosine within bucket.  Output (id_a, id_b, cosine)."""
+    from earth_data_kit_spark.operators.similarity import cosine_col, srp_bucket_udf
+
+    bucketed = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        srp_bucket_udf(n_planes)(F.col(vec_col)).alias("bucket"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_col(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= sim_threshold)
+    )

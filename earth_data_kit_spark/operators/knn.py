@@ -1,0 +1,116 @@
+"""kNN: k-ring candidate expansion + haversine re-rank (north_rule).
+
+Absent in the reference (SURVEY.md §2.3 last row); the Spark-native
+design:
+
+  1. each query point expands to its quadgrid k-ring cells
+     (driver-side — the query set is small) → (query_id, cell) rows,
+     **broadcast**;
+  2. equi-join points on cell → candidates (no shuffle of the big
+     side);
+  3. exact haversine distance as a codegen'd Column expression;
+  4. ``row_number() over (partition by query_id order by dist, id)``
+     ≤ K — the only shuffle, keyed by query_id (bounded cardinality =
+     |queries|; candidates per query are ring-bounded, so no skew).
+
+Ring sizing: ``ring_for_radius`` converts a search radius to the
+Chebyshev ring count at the given resolution; ``knn_join`` can also
+auto-grow the ring (multiplying by 2) until every query has ≥ K
+candidates — each growth step is one cheap count job on the
+candidate set only.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from earth_data_kit_spark.functions.columns import cell_id_col, haversine_m_col
+from earth_data_kit_spark.grid import cells
+
+
+def ring_for_radius(radius_m: float, res: int, at_lat: float = 0.0) -> int:
+    """Smallest ring count whose cells cover a radius at a latitude."""
+    cell_deg = 180.0 / (1 << res)
+    deg = radius_m / 111320.0 / max(0.2, math.cos(math.radians(at_lat)))
+    return max(1, math.ceil(deg / cell_deg))
+
+
+def query_rings_df(
+    spark: SparkSession,
+    queries: list[tuple[int, float, float]],  # (query_id, lat, lon)
+    res: int,
+    ring: int,
+) -> DataFrame:
+    rows = []
+    for qid, qlat, qlon in queries:
+        c = cells.cell_id_single(qlon, qlat, res)
+        for cell in cells.k_ring(c, ring):
+            rows.append((qid, qlat, qlon, int(cell)))
+    return spark.createDataFrame(rows, "query_id bigint, qlat double, qlon double, cell bigint")
+
+
+def knn_join(
+    points: DataFrame,
+    queries: list[tuple[int, float, float]],
+    k: int,
+    res: int = 7,
+    ring: int = 2,
+    id_col: str = "page_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    auto_grow: bool = False,
+    max_ring: int = 64,
+) -> DataFrame:
+    """Top-K nearest points per query → columns (query_id, rank,
+    <id_col>, dist_m).  Exact within the ring radius; auto_grow
+    verifies sufficiency and widens if any query is starved.
+    """
+    spark = points.sparkSession
+    pts = points.withColumn("cell", cell_id_col(F.col(lon_col), F.col(lat_col), res))
+
+    while True:
+        rings = query_rings_df(spark, queries, res, ring)
+        cand = pts.join(F.broadcast(rings), "cell")
+        if not auto_grow or ring >= max_ring:
+            break
+        per_q = cand.groupBy("query_id").count()
+        starved = len(queries) - per_q.where(F.col("count") >= k).count()
+        if starved == 0:
+            break
+        ring = min(max_ring, ring * 2)
+
+    dist = haversine_m_col(F.col("qlat"), F.col("qlon"), F.col(lat_col), F.col(lon_col))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("dist_m", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "dist_m")
+    )
+
+
+def knn_brute_force(
+    points: DataFrame,
+    queries: list[tuple[int, float, float]],
+    k: int,
+    id_col: str = "page_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """O(points × queries) oracle: broadcast the queries, window topk.
+    Also the correct plan when queries are few and no cell index
+    exists yet (one scan, no index build)."""
+    spark = points.sparkSession
+    qdf = spark.createDataFrame(queries, "query_id bigint, qlat double, qlon double")
+    dist = haversine_m_col(F.col("qlat"), F.col("qlon"), F.col(lat_col), F.col(lon_col))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col(id_col).asc())
+    return (
+        points.crossJoin(F.broadcast(qdf))
+        .withColumn("dist_m", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "dist_m")
+    )

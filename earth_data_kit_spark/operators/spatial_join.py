@@ -1,0 +1,132 @@
+"""Point-in-polygon spatial join: cell-prefilter + exact refine.
+
+The reference's flagship join is an O(tiles) nested loop of
+ST_Intersects over a process pool (/root/reference/earth_data_kit/
+stitching/classes/dataset.py:252-274, SURVEY.md §2.3 J1).  The
+Spark-first restatement:
+
+  1. cover each polygon with quadgrid cells at ``res``
+     (superset covering, driver-side — polygons are small);
+  2. explode to a (code, cell) DataFrame and **broadcast** it
+     (polygon side ≪ broadcast threshold by construction — no
+     shuffle of the pages side at all);
+  3. equi-join pages on ``cell`` — Catalyst turns this into a
+     BroadcastHashJoin, so the 100 TB side streams map-side;
+  4. exact refine: bbox test as a pure Column predicate (codegen),
+     ray-cast pandas UDF only for non-rectangular polygons.
+
+Scale notes: the join never shuffles the big side; skewed cells
+(dense urban) are irrelevant to a broadcast join (skew only matters
+for shuffles — the downstream groupBy(cell) aggregation uses partial
+aggregation, and `salted_hot_keys` exists for true hot-key shuffles).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from earth_data_kit_spark.functions.columns import cell_id_col, salt_col
+from earth_data_kit_spark.functions.udfs import pip_refine_udf
+from earth_data_kit_spark.grid import cells, geom
+
+
+@dataclass
+class Polygon:
+    code: str
+    name: str
+    wkt: str | None = None  # non-rectangular → ray-cast refine
+    bbox: tuple[float, float, float, float] | None = None  # rectangle
+
+    def covering(self, res: int) -> list[int]:
+        if self.bbox is not None:
+            return cells.covering_bbox(*self.bbox, res)
+        shell, _ = geom.parse_wkt_polygon(self.wkt)
+        return cells.covering_polygon([tuple(p) for p in shell], res)
+
+
+def bbox_polygons_from_dict(d: dict) -> list[Polygon]:
+    """Adapter for the reference's country_bboxes fixture shape
+    {code: (name, (xmin, ymin, xmax, ymax))}."""
+    return [Polygon(code=c, name=n, bbox=tuple(b)) for c, (n, b) in d.items()]
+
+
+def covering_df(spark: SparkSession, polygons: list[Polygon], res: int) -> DataFrame:
+    rows = [
+        (p.code, int(cell)) for p in polygons for cell in p.covering(res)
+    ]
+    return spark.createDataFrame(rows, "code string, cell bigint")
+
+
+def pip_join(
+    pages: DataFrame,
+    polygons: list[Polygon],
+    res: int = 7,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """pages ⋈ polygons with exact PIP semantics.
+
+    Returns pages columns + ``code`` (one output row per (page,
+    polygon) containment; a page inside two polygons appears twice).
+    """
+    spark = pages.sparkSession
+    cov = covering_df(spark, polygons, res)
+
+    with_cell = pages.withColumn("cell", cell_id_col(F.col(lon_col), F.col(lat_col), res))
+    cand = with_cell.join(F.broadcast(cov), "cell")
+
+    # exact refine — rectangles as codegen'd predicates
+    rect = {p.code: p.bbox for p in polygons if p.bbox is not None}
+    poly = {p.code: p.wkt for p in polygons if p.wkt is not None}
+
+    keep = F.lit(False)
+    if rect:
+        bx = F.create_map(
+            *[x for c, b in rect.items() for x in (F.lit(c), F.array(*[F.lit(v) for v in b]))]
+        )
+        bb = bx[F.col("code")]
+        keep = keep | (
+            bb.isNotNull()
+            & (F.col(lon_col) >= bb[0]) & (F.col(lat_col) >= bb[1])
+            & (F.col(lon_col) <= bb[2]) & (F.col(lat_col) <= bb[3])
+        )
+    if poly:
+        refine = pip_refine_udf(poly)
+        is_poly = F.col("code").isin(*poly.keys())
+        keep = keep | (is_poly & refine(F.col(lon_col), F.col(lat_col), F.col("code")))
+
+    return cand.where(keep)
+
+
+def salted_hot_keys(
+    df: DataFrame, key: str, hot_threshold: int, salt_buckets: int
+) -> tuple[DataFrame, DataFrame]:
+    """Skew tooling (SURVEY.md §4 skew row): detect keys above a count
+    threshold and return (df + salted_key column, hot_keys df).
+
+    ``salted_key`` = key for cold keys, key⊕salt for hot ones — use it
+    as the shuffle key for joins/aggs whose per-key state is large,
+    then merge partials by the true key.  AQE skew-join remains the
+    runtime backstop (enabled in session.py).
+    """
+    hot = (
+        df.groupBy(key)
+        .count()
+        .where(F.col("count") >= hot_threshold)
+        .select(key, F.lit(True).alias("is_hot"))
+    )
+    out = (
+        df.join(F.broadcast(hot), key, "left")
+        .withColumn(
+            "salted_key",
+            F.when(
+                F.col("is_hot").isNotNull(),
+                F.concat_ws("_", F.col(key).cast("string"), salt_col(F.col(key) + F.monotonically_increasing_id(), salt_buckets).cast("string")),
+            ).otherwise(F.col(key).cast("string")),
+        )
+        .drop("is_hot")
+    )
+    return out, hot

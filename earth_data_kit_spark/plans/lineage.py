@@ -1,0 +1,104 @@
+"""Per-partition lineage + checkpoint/resume (north_rule: "resumable
+from checkpoint with per-partition lineage + metrics").
+
+The reference resumes by file-existence checks (S9, /root/reference/
+earth_data_kit/stitching/engines/s3.py:290-303) and re-reads its
+catalog CSV between stages (dataset.py:370-385).  Done right on
+Spark:
+
+* every stage writes its output partitioned by a stable ``part_key``
+  (e.g. cell prefix) to the stage directory — the snapshot;
+* a lineage row per partition — (job_id, stage, part_key, row_count,
+  checksum, wall clock) — is computed IN THE SAME PASS with one
+  groupBy (count + xor-of-hash checksum: order-insensitive and
+  distributable);
+* ``resume_filter`` anti-joins the completed part_keys from the
+  lineage table so a restarted job processes only missing partitions
+  (the existence-skip semantic, but transactional: a partition is
+  "done" only if its lineage row committed).
+
+Iceberg would give this via snapshot atomicity; the sandbox has no
+Iceberg jar, so the same semantics run on parquet + a lineage parquet
+(the seam is this module — swap writes to ``writeTo(...)`` when the
+catalog is Iceberg, SURVEY.md §7.4-6).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = (
+    "job_id string, stage string, part_key bigint, row_count bigint, "
+    "checksum bigint, wall_ms bigint, committed_at timestamp"
+)
+
+
+def partition_lineage(df: DataFrame, part_key: str, cols: list[str] | None = None) -> DataFrame:
+    """(part_key, row_count, checksum) per partition key — checksum is
+    xor of per-row xxhash64 over ``cols`` (order-insensitive, computed
+    map-side)."""
+    hash_cols = cols or df.columns
+    h = F.xxhash64(*[F.col(c) for c in hash_cols])
+    return df.groupBy(F.col(part_key).alias("part_key")).agg(
+        F.count("*").alias("row_count"),
+        # xor-aggregate via sum of (h mod 2^32 halves) is not xor; use
+        # bit_xor aggregate (Spark 3.x: bit_xor)
+        F.expr(f"bit_xor(xxhash64({', '.join(hash_cols)}))").alias("checksum"),
+    )
+
+
+def commit_stage(
+    df: DataFrame,
+    base_dir: str,
+    job_id: str,
+    stage: str,
+    part_key: str,
+    lineage_cols: list[str] | None = None,
+) -> DataFrame:
+    """Write stage output + lineage rows; returns the lineage df.
+
+    Output layout: ``{base}/{stage}/data`` (partitioned by part_key)
+    and ``{base}/lineage`` (append).  The data write completes before
+    lineage commits — a crash between the two re-runs the partition,
+    never skips it.
+    """
+    t0 = time.time()
+    out = f"{base_dir}/{stage}/data"
+    df.write.mode("overwrite").partitionBy(part_key).parquet(out)
+    spark = df.sparkSession
+    written = spark.read.parquet(out)
+    lin = (
+        partition_lineage(written, part_key, lineage_cols)
+        .withColumn("job_id", F.lit(job_id))
+        .withColumn("stage", F.lit(stage))
+        .withColumn("wall_ms", F.lit(int((time.time() - t0) * 1000)))
+        .withColumn("committed_at", F.current_timestamp())
+        .select("job_id", "stage", "part_key", "row_count", "checksum", "wall_ms", "committed_at")
+    )
+    lin.write.mode("append").parquet(f"{base_dir}/lineage")
+    return lin
+
+
+def completed_partitions(spark: SparkSession, base_dir: str, job_id: str, stage: str) -> DataFrame:
+    path = f"{base_dir}/lineage"
+    if not os.path.exists(path):
+        return spark.createDataFrame([], "part_key bigint")
+    lin = spark.read.parquet(path)
+    return (
+        lin.where((F.col("job_id") == job_id) & (F.col("stage") == stage))
+        .select("part_key")
+        .distinct()
+    )
+
+
+def resume_filter(df: DataFrame, base_dir: str, job_id: str, stage: str, part_key: str) -> DataFrame:
+    """Drop partitions already committed (anti-join on lineage) — the
+    restart path; idempotent by construction."""
+    done = completed_partitions(df.sparkSession, base_dir, job_id, stage)
+    return df.join(
+        F.broadcast(done.withColumnRenamed("part_key", part_key)), part_key, "left_anti"
+    )

@@ -1,0 +1,169 @@
+"""Deterministic synthetic Common-Crawl-style pages table.
+
+BASELINE.json input_hint fixes the shape: ``pages(url string,
+warc_ts timestamp, html binary, text string, lang string)``.  No
+external data: pages are derived deterministically from the driver's
+``documents`` parquet (TESTDATA.md) by pure integer arithmetic, so
+the *same rows* can be produced by Spark SQL, DuckDB (the driver's
+oracle) and numpy — ``pages_cte_sql`` is written once in the shared
+dialect subset (arithmetic, CASE, concat only).
+
+Skew is built in: ``DENSE_PCT`` % of pages geocode into one dense
+urban cell (Tirana — also inside the Albania fixture bbox the
+reference tests use, tests/fixtures/country_bboxes.py:6), which is
+what exercises the salting / AQE-skew paths at scale.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DENSE_PCT = 20  # % of pages in the dense cell
+DENSE_LAT, DENSE_LON = 41.0, 19.6  # inside Albania bbox
+EPOCH_2017 = 1483228800  # 2017-01-01T00:00:00Z
+
+TLDS = ["al", "in", "de", "fr", "it", "gr", "es", "uk", "us", "br"]
+TLD_LANG = {
+    "al": "sq", "in": "hi", "de": "de", "fr": "fr", "it": "it",
+    "gr": "el", "es": "es", "uk": "en", "us": "en", "br": "pt",
+}
+
+
+def pages_cte_sql(documents: str = "documents", reps: int = 1) -> str:
+    """Pages metadata as ONE SQL text valid in Spark SQL *and* DuckDB.
+
+    Columns: page_id, doc_id, h (derivation hash), url, tld, lang,
+    lat, lon, ts_s (warc_ts as epoch seconds — timestamp conversion
+    is dialect-specific, so callers convert).  LCG constants are the
+    classic glibc rand() ones (public).
+
+    ``reps`` fans each document out into that many pages (pages =
+    |documents| × reps) so bench can run at realistic row counts; the
+    fan-out is a dialect-neutral UNION-ALL series, and every derived
+    column depends only on page_id, so any two engines agree row for
+    row at any reps.
+
+    NB: float literals are written in e-notation (``1e4``) on purpose
+    — Spark parses ``10000.0`` as DECIMAL and its decimal division
+    rounds differently from DuckDB's; ``1e4`` is DOUBLE in both.
+    """
+    tld_case = "CASE (h % 10) " + " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(TLDS)
+    ) + " END"
+    lang_case = "CASE (h % 10) " + " ".join(
+        f"WHEN {i} THEN '{TLD_LANG[t]}'" for i, t in enumerate(TLDS)
+    ) + " END"
+    if reps == 1:
+        base = (
+            f"SELECT doc_id AS page_id, doc_id,"
+            f" (doc_id * 1103515245 + 12345) % 2147483648 AS h FROM {documents}"
+        )
+    else:
+        series = " UNION ALL ".join(f"SELECT {i} AS r" for i in range(reps))
+        base = (
+            f"SELECT d.doc_id * {reps} + rr.r AS page_id, d.doc_id,"
+            f" ((d.doc_id * {reps} + rr.r) * 1103515245 + 12345) % 2147483648 AS h"
+            f" FROM {documents} d CROSS JOIN ({series}) rr"
+        )
+    return f"""
+SELECT
+  page_id,
+  doc_id,
+  h,
+  concat('https://site', CAST(page_id % 997 AS STRING), '.', {tld_case},
+         '/doc/', CAST(page_id AS STRING)) AS url,
+  {tld_case} AS tld,
+  {lang_case} AS lang,
+  CASE WHEN (h % 100) < {DENSE_PCT}
+       THEN {DENSE_LAT} + (h % 3000) / 1e4
+       ELSE -58.0 + ((h * 7919) % 1300000) / 1e4 END AS lat,
+  CASE WHEN (h % 100) < {DENSE_PCT}
+       THEN {DENSE_LON} + (CAST(floor(h / 3e3) AS BIGINT) % 3000) / 1e4
+       ELSE -180.0 + ((h * 104729) % 3600000) / 1e4 END AS lon,
+  {EPOCH_2017} + (h % 86400) AS ts_s
+FROM ({base}) base
+""".strip()
+
+
+def pages_meta_df(spark: SparkSession, sf_dir: str, reps: int = 1) -> DataFrame:
+    """Pages metadata (no html payload) as a DataFrame."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return spark.sql(pages_cte_sql(reps=reps))
+
+
+_HTML_SCHEMA = (
+    "doc_id bigint, url string, warc_ts timestamp, html binary, "
+    "text string, lang string, lat double, lon double, h bigint"
+)
+
+
+def render_html(text: str, doc_id: int) -> bytes:
+    """Deterministic HTML wrapper whose extraction round-trips through
+    text/extract.py (the golden invariant); includes tag/entity/
+    whitespace noise the extractor must strip."""
+    body = (
+        text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    ).replace("\n", "</p>\n<p>")
+    return (
+        f"<html><!-- synthetic page {doc_id} --><head><title>doc {doc_id}</title>"
+        f"<style>p {{margin: 0}}</style></head>\n"
+        f"<body>\n<h1>Document   {doc_id}</h1>\n<p>{body}</p>\n"
+        f"<script>var x = {doc_id};</script></body></html>"
+    ).encode("utf-8")
+
+
+def expected_text(text: str, doc_id: int) -> str:
+    """What the pinned extractor recovers from render_html (single-
+    node oracle; tests assert extract_text(render_html(t)) == this)."""
+    from earth_data_kit_spark.text.extract import extract_text
+
+    return extract_text(render_html(text, doc_id))
+
+
+def synth_pages_df(spark: SparkSession, sf_dir: str, reps: int = 1) -> DataFrame:
+    """Full pages table (url, warc_ts, html, text, lang, + derivation
+    columns).  Geocoding markers: h%7==0 rows embed coords in the URL
+    (``/@lat,lon``), h%7==1 rows carry a ``geo:`` marker in text, the
+    rest geocode via ccTLD — exercising all three geocode paths.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    meta = spark.sql(pages_cte_sql(reps=reps)).join(
+        F.broadcast(docs.select("doc_id", "text")), "doc_id"
+    )
+
+    meta = meta.withColumn(
+        "url",
+        F.when(
+            F.col("h") % 7 == 0,
+            F.concat(
+                F.col("url"), F.lit("/@"),
+                F.round(F.col("lat"), 4).cast("string"), F.lit(","),
+                F.round(F.col("lon"), 4).cast("string"),
+            ),
+        ).otherwise(F.col("url")),
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("h") % 7 == 1,
+            F.concat(
+                F.col("text"), F.lit("\ngeo: "),
+                F.round(F.col("lat"), 4).cast("string"), F.lit(", "),
+                F.round(F.col("lon"), 4).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    ).withColumn("warc_ts", F.timestamp_seconds(F.col("ts_s")))
+
+    @F.pandas_udf("binary")
+    def render_udf(text: pd.Series, doc_id: pd.Series) -> pd.Series:
+        return pd.Series(
+            [render_html(t, int(d)) for t, d in zip(text, doc_id)], dtype=object
+        )
+
+    return meta.select(
+        "page_id", "doc_id", "url", "warc_ts",
+        render_udf(F.col("text"), F.col("page_id")).alias("html"),
+        "text", "lang", "lat", "lon", "h",
+    )

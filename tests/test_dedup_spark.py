@@ -1,0 +1,104 @@
+"""Dedup suite vs single-node oracles on the documents table (with
+planted duplicates)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from earth_data_kit_spark.operators import dedup
+from earth_data_kit_spark.text import analysis
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(120)
+    # plant exact dups (ids +100000) and near dups (ids +200000)
+    exact = docs.limit(10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    near = docs.limit(10).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.unionByName(exact).unionByName(near).cache()
+
+
+def test_exact_dedup(spark, docs_with_dups):
+    kept = dedup.exact_dedup(docs_with_dups).collect()
+    total = docs_with_dups.count()
+    pdf = docs_with_dups.select("doc_id", "text").toPandas()
+    import hashlib
+
+    by_text = {}
+    for _, r in pdf.iterrows():
+        by_text.setdefault(hashlib.md5(r["text"].encode()).hexdigest(), []).append(r["doc_id"])
+    exp = {(min(v), len(v)) for v in by_text.values()}
+    assert {(r.doc_id, r.n_dups) for r in kept} == exp
+    assert sum(r.n_dups for r in kept) == total
+    # the 10 planted exact dups dedup away
+    assert sum(r.n_dups - 1 for r in kept) >= 10
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs_with_dups):
+    pairs = dedup.minhash_lsh_pairs(docs_with_dups, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # every planted near-dup pair (id, id+200000) with long-enough text
+    pdf = docs_with_dups.where(F.col("doc_id") < 10).select("doc_id", "text").toPandas()
+    expected_hits = 0
+    for _, r in pdf.iterrows():
+        j = analysis.jaccard(
+            set(analysis.shingles(r["text"])), set(analysis.shingles(r["text"] + " tail"))
+        )
+        if j >= 0.7:  # well above threshold → LSH should catch it
+            expected_hits += 1
+            assert (r["doc_id"], r["doc_id"] + 200000) in got
+    assert expected_hits > 0
+    # exact dups must be found with est_jaccard == 1
+    ex = {(r.id_a, r.id_b): r.est_jaccard for r in pairs}
+    for i in range(10):
+        assert ex.get((i, i + 100000)) == 1.0
+
+
+def test_simhash_pairs(spark, docs_with_dups):
+    pairs = dedup.simhash_pairs(docs_with_dups, max_hamming=3).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    for i in range(10):
+        assert (i, i + 100000) in got  # exact dups: hamming 0
+    hams = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert all(h <= 3 for h in hams.values())
+
+
+def test_ngram_jaccard_exact(spark, docs_with_dups):
+    small = docs_with_dups.where((F.col("doc_id") < 8) | (F.col("doc_id") >= 200000))
+    pairs = dedup.ngram_jaccard_pairs(small, shingle_k=3, threshold=0.3).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    pdf = small.select("doc_id", "text").toPandas()
+    texts = dict(zip(pdf["doc_id"], pdf["text"]))
+    # oracle: exact jaccard over shingle-hash sets
+    import itertools
+
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa = {analysis._h64(s.encode()) & 0x7FFFFFFFFFFFFFFF for s in analysis.shingles(texts[a], 3)}
+        sb = {analysis._h64(s.encode()) & 0x7FFFFFFFFFFFFFFF for s in analysis.shingles(texts[b], 3)}
+        j = analysis.jaccard(sa, sb)
+        if j >= 0.3:
+            assert abs(got[(a, b)] - j) < 1e-9
+        else:
+            assert (a, b) not in got
+
+
+def test_embedding_neardup(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(150)
+    # plant a near-identical vector
+    twin = emb.limit(1).select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        F.transform("embedding", lambda v: v * F.lit(1.0001)).alias("embedding"),
+        "label",
+    )
+    both = emb.unionByName(twin)
+    pairs = dedup.embedding_neardup_pairs(both, sim_threshold=0.999).collect()
+    assert any(r.id_b == r.id_a + 500000 and r.cosine > 0.9999 for r in pairs)

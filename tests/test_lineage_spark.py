@@ -1,0 +1,38 @@
+"""Checkpoint / lineage / resume semantics."""
+
+from pyspark.sql import functions as F
+
+from earth_data_kit_spark.plans import lineage
+from earth_data_kit_spark.sources.pages import pages_meta_df
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_commit_and_resume(spark, tmp_path):
+    base = str(tmp_path / "ckpt")
+    pages = pages_meta_df(spark, SF).withColumn("part", F.col("page_id") % 4)
+
+    lin = lineage.commit_stage(pages, base, "job1", "geocode", "part")
+    rows = {r.part_key: (r.row_count, r.checksum) for r in lin.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert sum(rc for rc, _ in rows.values()) == pages.count()
+
+    # resume: everything committed → nothing left to do
+    remaining = lineage.resume_filter(pages, base, "job1", "geocode", "part")
+    assert remaining.count() == 0
+    # a different stage is untouched
+    other = lineage.resume_filter(pages, base, "job1", "assign", "part")
+    assert other.count() == pages.count()
+
+
+def test_checksum_detects_corruption(spark, tmp_path):
+    pages = pages_meta_df(spark, SF).withColumn("part", F.col("page_id") % 2)
+    lin1 = lineage.partition_lineage(pages, "part").collect()
+    tampered = pages.withColumn(
+        "url", F.when(F.col("page_id") == 7, F.lit("evil")).otherwise(F.col("url"))
+    )
+    lin2 = lineage.partition_lineage(tampered, "part").collect()
+    c1 = {r.part_key: r.checksum for r in lin1}
+    c2 = {r.part_key: r.checksum for r in lin2}
+    assert c1[7 % 2] != c2[7 % 2]
+    assert c1[(7 % 2) ^ 1] == c2[(7 % 2) ^ 1]

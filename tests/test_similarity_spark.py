@@ -1,0 +1,73 @@
+"""ANN vs brute-force oracle on the embeddings table."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from earth_data_kit_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(spark, emb):
+    q = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return q.cache()
+
+
+def oracle_topk(emb_pdf, q_pdf, k):
+    out = {}
+    M = np.stack(emb_pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    norms = np.linalg.norm(M, axis=1)
+    ids = emb_pdf["vec_id"].values
+    for _, q in q_pdf.iterrows():
+        v = np.asarray(q["qvec"], dtype=np.float64)
+        cos = (M @ v) / (norms * np.linalg.norm(v))
+        order = np.lexsort((ids, -cos))[:k]
+        out[q["query_id"]] = [int(ids[i]) for i in order]
+    return out
+
+
+def test_bruteforce_matches_numpy_oracle(spark, emb, queries):
+    got = sim.cosine_topk_bruteforce(emb, queries, k=10).collect()
+    exp = oracle_topk(emb.toPandas(), queries.toPandas(), 10)
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    assert by_q == exp
+    # self-similarity rank 1 with cosine ~ 1
+    for r in got:
+        if r.rank == 1:
+            assert r.vec_id == r.query_id
+            assert abs(r.cosine - 1.0) < 1e-9
+
+
+def test_lsh_recall_reasonable(spark, emb, queries):
+    got = sim.cosine_topk_lsh(emb, queries, k=10).collect()
+    exp = oracle_topk(emb.toPandas(), queries.toPandas(), 10)
+    hits = tot = 0
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    for qid, top in exp.items():
+        tot += len(top)
+        hits += len(by_q.get(qid, set()) & set(top))
+    recall = hits / tot
+    assert recall >= 0.5, recall
+    # rank-1 self hit always survives LSH (same bucket as itself)
+    for r in got:
+        if r.rank == 1:
+            assert r.vec_id == r.query_id
+
+
+def test_cosine_col_is_jvm_only(spark, emb, queries):
+    df = sim.cosine_topk_bruteforce(emb, queries, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -1,0 +1,108 @@
+"""Cell-prefiltered PIP join vs the single-node oracle (same pure
+functions, numpy) — and plan-shape assertions (broadcast chosen, no
+shuffle of the pages side)."""
+
+import numpy as np
+import pytest
+
+from earth_data_kit_spark.grid import cells, geom
+from earth_data_kit_spark.operators import spatial_join as sj
+from earth_data_kit_spark.sources.pages import pages_meta_df
+
+SF = "/root/testdata/sf0.001"
+
+ALBANIA = ("AL", "Albania", (19.3044861183, 39.624997667, 21.0200403175, 42.6882473822))
+INDIA_BBOX = ("IN", "India", (68.1766451354, 7.96553477623, 97.4025614766, 35.4940095078))
+CONCAVE = (
+    "CC",
+    "Concave",
+    "POLYGON ((0 0, 30 0, 30 10, 10 10, 10 30, 30 30, 30 40, 0 40, 0 0))",
+)
+HOLED = (
+    "HH",
+    "Holed",
+    "POLYGON ((-60 -20, -20 -20, -20 20, -60 20, -60 -20), (-45 -5, -35 -5, -35 5, -45 5, -45 -5))",
+)
+
+
+@pytest.fixture(scope="module")
+def polys():
+    return [
+        sj.Polygon(code=ALBANIA[0], name=ALBANIA[1], bbox=ALBANIA[2]),
+        sj.Polygon(code=INDIA_BBOX[0], name=INDIA_BBOX[1], bbox=INDIA_BBOX[2]),
+        sj.Polygon(code=CONCAVE[0], name=CONCAVE[1], wkt=CONCAVE[2]),
+        sj.Polygon(code=HOLED[0], name=HOLED[1], wkt=HOLED[2]),
+    ]
+
+
+def oracle_pip(pdf, polys):
+    lons = pdf["lon"].values
+    lats = pdf["lat"].values
+    out = set()
+    for p in polys:
+        if p.bbox is not None:
+            xmin, ymin, xmax, ymax = p.bbox
+            m = (lons >= xmin) & (lons <= xmax) & (lats >= ymin) & (lats <= ymax)
+        else:
+            shell, holes = geom.parse_wkt_polygon(p.wkt)
+            m = geom.point_in_polygon(lons, lats, shell, holes)
+        for pid in pdf["page_id"].values[m]:
+            out.add((int(pid), p.code))
+    return out
+
+
+def test_pip_join_matches_oracle(spark, polys):
+    pages = pages_meta_df(spark, SF)
+    got = {
+        (r.page_id, r.code)
+        for r in sj.pip_join(pages, polys, res=7).select("page_id", "code").collect()
+    }
+    expected = oracle_pip(pages.select("page_id", "lon", "lat").toPandas(), polys)
+    assert got == expected
+    assert len(expected) > 0  # dense cell guarantees Albania hits
+
+
+def test_pip_join_dense_skew_present(spark, polys):
+    # the synthetic skew knob: ~20% of pages in the dense Albania cell
+    pages = pages_meta_df(spark, SF)
+    n = pages.count()
+    al = sj.pip_join(pages, polys[:1], res=7).count()
+    assert al >= 0.15 * n
+
+
+def test_pip_join_plan_is_broadcast(spark, polys):
+    pages = pages_meta_df(spark, SF)
+    plan = sj.pip_join(pages, polys, res=7)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_covering_superset(spark, polys):
+    # every oracle hit's cell must appear in the polygon covering
+    pages = pages_meta_df(spark, SF).select("page_id", "lon", "lat").toPandas()
+    for p in polys:
+        cov = set(p.covering(7))
+        hits = oracle_pip(pages, [p])
+        ids = {pid for pid, _ in hits}
+        sub = pages[pages["page_id"].isin(ids)]
+        pc = cells.cell_id(sub["lon"].values, sub["lat"].values, 7)
+        assert set(np.unique(pc)).issubset(cov)
+
+
+def test_salted_hot_keys(spark):
+    pages = pages_meta_df(spark, SF)
+    from earth_data_kit_spark.functions.columns import cell_id_col
+    from pyspark.sql import functions as F
+
+    df = pages.withColumn("cell", cell_id_col(F.col("lon"), F.col("lat"), 7))
+    salted, hot = sj.salted_hot_keys(df, "cell", hot_threshold=50, salt_buckets=8)
+    hot_rows = hot.collect()
+    assert len(hot_rows) >= 1  # the dense cell must be detected
+    # hot keys fan out into multiple salted keys; cold keys don't
+    fan = (
+        salted.groupBy("cell")
+        .agg(F.countDistinct("salted_key").alias("n"))
+        .join(hot, "cell", "left_semi")
+        .collect()
+    )
+    assert all(r.n > 1 for r in fan)

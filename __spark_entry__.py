@@ -1,38 +1,829 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (pages → extract →
+geocode → cell index → PIP join → aggregate) at sf0.001.
+
+``queries()`` exposes the engine's operators over /root/testdata
+tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL.  Parity
+strategy: the synthetic ``pages`` table is ONE SQL text valid in both
+dialects (earth_data_kit_spark/sources/pages.py), every cell id is
+pure IEEE-754 arithmetic (bit-identical across engines), and every
+float aggregate/trig output is rounded in BOTH engines before the
+driver hashes values.  All integer outputs are BIGINT on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from earth_data_kit_spark.functions.columns import (
+    cell_id_col,
+    cell_id_sql,
+    haversine_m_sql,
+)
+from earth_data_kit_spark.sources.pages import pages_cte_sql
+
+# ---------------------------------------------------------------------------
+# shared fixtures (country bboxes from the reference's public-domain
+# Natural Earth extract, /root/reference/tests/fixtures/country_bboxes.py)
+# ---------------------------------------------------------------------------
+
+COUNTRIES = [
+    ("AL", "Albania", 19.3044861183, 39.624997667, 21.0200403175, 42.6882473822),
+    ("IN", "India", 68.1766451354, 7.96553477623, 97.4025614766, 35.4940095078),
+    ("DE", "Germany", 5.98865807458, 47.3024876979, 15.0169958839, 54.983104153),
+    ("BR", "Brazil", -73.9872354804, -33.7683777809, -34.7299934555, 5.24448639569),
+    ("AU", "Australia", 113.338953078, -43.6345972634, 153.569469029, -10.6681857235),
+    ("US", "United States", -171.791110603, 18.91619, -66.96466, 71.3577635769),
+]
+
+KNN_QUERIES = [(1, 41.33, 19.82), (2, 51.0, 10.5), (3, -33.9, 151.2)]
+
+# MODIS s3-grid-file golden scenario (FIXTURES.md §B; values from the
+# reference golden VRTs)
+MODIS_X0 = 1111950.5196670
+MODIS_Y0 = 5559752.5983330
+MODIS_RES = 463.3127165274999
+MODIS_RES_Y = -463.3127165277084
+MODIS_TILE = 2400
+ALBANIA_BBOX = (19.3044861183, 39.624997667, 21.0200403175, 42.6882473822)
+
+CELL_RES = 7
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return spark.sql(pages_cte_sql())
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _modis_catalog(spark: SparkSession) -> DataFrame:
+    import datetime as dt
+
+    rows = []
+    for tile, y0 in (("h19v04", MODIS_Y0), ("h19v05", MODIS_Y0 + MODIS_RES_Y * MODIS_TILE)):
+        rows.append(
+            (
+                f"s3://modis-pds/{tile}.TIF",
+                f"/vsis3/modis-pds/{tile}.TIF",
+                tile,
+                dt.datetime(2017, 1, 1),
+                [MODIS_X0, MODIS_RES, 0.0, y0, 0.0, MODIS_RES_Y],
+                "SINUSOIDAL-WKT",
+                MODIS_TILE,
+                MODIS_TILE,
+                "sinusoidal",
+                "metre",
+                [
+                    (1, "Nadir_Reflectance_Band3", "Int16", 32767.0),
+                    (1, "Nadir_Reflectance_Band7", "Int16", 32767.0),
+                ],
+            )
+        )
+    schema = (
+        "engine_path string, gdal_path string, tile_name string, date timestamp, "
+        "geo_transform array<double>, projection string, x_size int, y_size int, "
+        "crs string, length_unit string, "
+        "bands array<struct<source_idx:int, description:string, dtype:string, nodataval:double>>"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _d(v: float) -> str:
+    """DuckDB parses plain decimal literals as DECIMAL (overflow on
+    13-digit scales); force DOUBLE."""
+    return f"CAST({v!r} AS DOUBLE)"
+
+
+_Y0_V05 = MODIS_Y0 + MODIS_RES_Y * MODIS_TILE
+_MODIS_TILES_CTE = f"""
+tiles(tile_name, band, x0, y0, xres, yres, xsize, ysize) AS (VALUES
+  ('h19v04', 'Nadir_Reflectance_Band3', {_d(MODIS_X0)}, {_d(MODIS_Y0)}, {_d(MODIS_RES)}, {_d(MODIS_RES_Y)}, 2400, 2400),
+  ('h19v04', 'Nadir_Reflectance_Band7', {_d(MODIS_X0)}, {_d(MODIS_Y0)}, {_d(MODIS_RES)}, {_d(MODIS_RES_Y)}, 2400, 2400),
+  ('h19v05', 'Nadir_Reflectance_Band3', {_d(MODIS_X0)}, {_d(_Y0_V05)}, {_d(MODIS_RES)}, {_d(MODIS_RES_Y)}, 2400, 2400),
+  ('h19v05', 'Nadir_Reflectance_Band7', {_d(MODIS_X0)}, {_d(_Y0_V05)}, {_d(MODIS_RES)}, {_d(MODIS_RES_Y)}, 2400, 2400))
+"""
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pages(html) → extract text UDF → geocode UDF → cell
+    index → broadcast PIP join vs country polygons → per-country
+    counts.  sf0.001, returns a small stable DataFrame."""
+    from earth_data_kit_spark.functions.udfs import extract_text_udf, geocode_udf
+    from earth_data_kit_spark.operators import spatial_join as sj
+    from earth_data_kit_spark.sources.pages import synth_pages_df
+
+    pages = synth_pages_df(spark, "/root/testdata/sf0.001")
+    text = pages.select("page_id", "url", extract_text_udf(F.col("html")).alias("text"))
+    geo = (
+        text.select("page_id", "url", geocode_udf(F.col("url"), F.col("text")).alias("g"))
+        .select(
+            "page_id",
+            F.col("g.lat").alias("lat"),
+            F.col("g.lon").alias("lon"),
+            F.col("g.method").alias("method"),
+        )
+        .where(F.col("lat").isNotNull())
+    )
+    polys = [sj.Polygon(code=c, name=n, bbox=(a, b, x, y)) for c, n, a, b, x, y in COUNTRIES]
+    joined = sj.pip_join(geo, polys, res=CELL_RES)
+    return (
+        joined.groupBy("code", "method")
+        .agg(F.count("*").alias("n_pages"))
+        .orderBy("code", "method")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — Spark side (engine operators / DataFrame API)
+# ---------------------------------------------------------------------------
+
+
+def _q_geo_cell_counts(spark, sf_dir):
+    pages = _pages(spark, sf_dir)
+    return (
+        pages.withColumn("cell", cell_id_col(F.col("lon"), F.col("lat"), CELL_RES))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+def _q_geo_pip_countries(spark, sf_dir):
+    from earth_data_kit_spark.operators import spatial_join as sj
+
+    pages = _pages(spark, sf_dir)
+    polys = [sj.Polygon(code=c, name=n, bbox=(a, b, x, y)) for c, n, a, b, x, y in COUNTRIES]
+    return sj.pip_join(pages, polys, res=CELL_RES).groupBy("code").agg(
+        F.count("*").alias("n_pages")
+    )
+
+
+def _q_geo_pip_rows(spark, sf_dir):
+    from earth_data_kit_spark.operators import spatial_join as sj
+
+    pages = _pages(spark, sf_dir).where(F.col("page_id") % 7 == 0)
+    polys = [sj.Polygon(code=c, name=n, bbox=(a, b, x, y)) for c, n, a, b, x, y in COUNTRIES]
+    return sj.pip_join(pages, polys, res=CELL_RES).select("page_id", "code")
+
+
+def _q_geo_knn(spark, sf_dir):
+    from earth_data_kit_spark.operators.knn import knn_join
+
+    pages = _pages(spark, sf_dir)
+    out = knn_join(
+        pages, KNN_QUERIES, k=5, res=5, ring=2, id_col="page_id",
+        auto_grow=True, max_ring=64,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        "page_id",
+        F.round("dist_m", 2).alias("dist_m"),
+    )
+
+
+def _q_geo_tile_assign(spark, sf_dir):
+    from earth_data_kit_spark.operators import assign
+
+    tiles = assign.explode_bands(_modis_catalog(spark))
+    a = assign.tile_assignments(tiles)
+    return a.select(
+        "band",
+        "tile_name",
+        F.col("dst_xoff").cast("bigint").alias("dst_xoff"),
+        F.col("dst_yoff").cast("bigint").alias("dst_yoff"),
+        F.col("xsize").cast("bigint").alias("xsize"),
+        F.col("ysize").cast("bigint").alias("ysize"),
+        F.col("mosaic_xsize").cast("bigint").alias("mosaic_xsize"),
+        F.col("mosaic_ysize").cast("bigint").alias("mosaic_ysize"),
+    )
+
+
+def _q_geo_clip_window(spark, sf_dir):
+    from earth_data_kit_spark.grid import transform
+    from earth_data_kit_spark.operators import assign
+
+    tiles = assign.explode_bands(_modis_catalog(spark))
+    a = assign.tile_assignments(tiles)
+    c = assign.clip_windows(a, ALBANIA_BBOX, transform.SINUSOIDAL)
+    return c.select(
+        "band",
+        F.col("xoff").cast("bigint").alias("xoff"),
+        F.col("yoff").cast("bigint").alias("yoff"),
+        F.col("xsize").cast("bigint").alias("xsize"),
+        F.col("ysize").cast("bigint").alias("ysize"),
+        F.round("out_origin_x", 4).alias("out_origin_x"),
+        F.round("out_origin_y", 4).alias("out_origin_y"),
+    )
+
+
+def _q_geo_time_buckets(spark, sf_dir):
+    from earth_data_kit_spark.operators.discover import bucket_temporally
+
+    events = _read(spark, sf_dir, "events")
+    out = bucket_temporally(events, "ts", "2017-01-01 00:00:00", "1 day")
+    return (
+        out.groupBy(F.unix_timestamp("bucket").alias("bucket_s"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def _q_rel_q1_pricing_summary(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_rel_q3_shipping_priority(spark, sf_dir):
+    c = _read(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _read(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1995-03-15")
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def _q_rel_q5_supplier_volume(spark, sf_dir):
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def _q_rel_q6_forecast(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+             F.count("*").alias("n_rows"))
+    )
+
+
+def _q_rel_top_customers_window(spark, sf_dir):
+    c = _read(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+        )
+    )
+
+
+def _q_rel_anti_join(spark, sf_dir):
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def _q_rel_semi_join(spark, sf_dir):
+    s = _read(spark, sf_dir, "supplier")
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_shipdate") >= "1996-01-01")
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select("s_suppkey", "s_name")
+
+
+def _q_rel_rollup(spark, sf_dir):
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
+def _q_rel_conditional_pivot(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    types = ["click", "view", "purchase"]
+    aggs = [
+        F.round(F.sum(F.when(F.col("event_type") == t, F.col("value")).otherwise(0.0)), 2).alias(
+            f"sum_{t}"
+        )
+        for t in types
+    ]
+    return ev.groupBy((F.col("user_id") % 10).alias("user_bucket")).agg(
+        F.count("*").alias("n"), *aggs
+    )
+
+
+def _q_txt_stats(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    toks = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("bigint")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(toks).alias("total_ws_tokens"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_len"),
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from earth_data_kit_spark.operators.dedup import exact_dedup
+
+    d = _read(spark, sf_dir, "documents")
+    out = exact_dedup(d)
+    return out.select("doc_id", F.col("n_dups").cast("bigint").alias("n_dups"))
+
+
+def _q_dedup_trigram_jaccard(spark, sf_dir):
+    """Exact char-trigram Jaccard pairs (doc_id < 100), pure SQL —
+    the explode/inverted-index plan from operators/dedup.py expressed
+    without UDFs so DuckDB can mirror it."""
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ') AS t
+  FROM documents WHERE doc_id < 100
+),
+grams AS (
+  SELECT DISTINCT doc_id, substring(t, i, 3) AS g
+  FROM norm
+  LATERAL VIEW explode(sequence(1, greatest(length(t) - 2, 1))) AS i
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / (sa.n + sb.n - n_common) >= 0.2
+"""
+    )
+
+
+def _q_sim_cosine_topk(spark, sf_dir):
+    from earth_data_kit_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = cosine_topk_bruteforce(emb, q, k=5)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+def _q_sim_label_centroid_sim(spark, sf_dir):
+    """Per-label mean intra-label cosine to the label centroid —
+    array aggregation exercised JVM-side."""
+    from earth_data_kit_spark.operators.similarity import cosine_col
+
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = 64
+    cent = emb.groupBy("label").agg(
+        F.array(*[F.round(F.avg(F.col("embedding")[i].cast("double")), 8) for i in range(dim)]).alias("centroid"),
+        F.count("*").alias("n_vecs"),
+    )
+    joined = emb.join(F.broadcast(cent), "label")
+    return (
+        joined.withColumn("cos", cosine_col(F.col("embedding"), F.col("centroid")))
+        .groupBy(F.col("label").cast("bigint").alias("label"))
+        .agg(
+            F.max("n_vecs").alias("n_vecs"),
+            F.round(F.avg("cos"), 4).alias("mean_cos_to_centroid"),
+        )
+    )
+
+
+# --- rows-only queries (non-SQL-expressible; driver does weaker check) ---
+
+
+def _q_dd_minhash_pairs(spark, sf_dir):
+    from earth_data_kit_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(d, threshold=0.3)
+    return out.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def _q_dd_simhash_pairs(spark, sf_dir):
+    from earth_data_kit_spark.operators.dedup import simhash_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=6).select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
+def _q_txt_langid(spark, sf_dir):
+    from earth_data_kit_spark.functions.udfs import detect_lang_udf
+
+    d = _read(spark, sf_dir, "documents")
+    return d.groupBy(detect_lang_udf(F.col("text")).alias("pred_lang")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def _q_txt_quality(spark, sf_dir):
+    from earth_data_kit_spark.functions.udfs import quality_score_udf, token_count_udf
+
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(quality_score_udf(F.col("text")), 6).alias("quality"),
+        token_count_udf(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+
+
+def _q_sim_lsh_ann(spark, sf_dir):
+    from earth_data_kit_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = cosine_topk_lsh(emb, q, k=5)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+def _q_mm_features(spark, sf_dir):
+    from earth_data_kit_spark.operators.multimodal import extract_features, synth_media_df
+
+    media = synth_media_df(spark, 64)
+    feats = extract_features(media, out_w=4, out_h=4)
+    return feats.select(
+        "media_id", "kind", F.round(F.aggregate("feat", F.lit(0.0), lambda a, v: a + v.cast("double")), 4).alias("feat_sum")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # geospatial engine
+        "geo_cell_counts": _q_geo_cell_counts,
+        "geo_pip_countries": _q_geo_pip_countries,
+        "geo_pip_rows": _q_geo_pip_rows,
+        "geo_knn": _q_geo_knn,
+        "geo_tile_assign": _q_geo_tile_assign,
+        "geo_clip_window": _q_geo_clip_window,
+        "geo_time_buckets": _q_geo_time_buckets,
+        # relational core
+        "rel_q1_pricing_summary": _q_rel_q1_pricing_summary,
+        "rel_q3_shipping_priority": _q_rel_q3_shipping_priority,
+        "rel_q5_supplier_volume": _q_rel_q5_supplier_volume,
+        "rel_q6_forecast": _q_rel_q6_forecast,
+        "rel_top_customers_window": _q_rel_top_customers_window,
+        "rel_anti_join": _q_rel_anti_join,
+        "rel_semi_join": _q_rel_semi_join,
+        "rel_rollup": _q_rel_rollup,
+        "rel_conditional_pivot": _q_rel_conditional_pivot,
+        # text / dedup / similarity
+        "txt_stats": _q_txt_stats,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_trigram_jaccard": _q_dedup_trigram_jaccard,
+        "sim_cosine_topk": _q_sim_cosine_topk,
+        "sim_label_centroid": _q_sim_label_centroid_sim,
+        # rows-only (no oracle entry)
+        "dd_minhash_pairs": _q_dd_minhash_pairs,
+        "dd_simhash_pairs": _q_dd_simhash_pairs,
+        "txt_langid": _q_txt_langid,
+        "txt_quality": _q_txt_quality,
+        "sim_lsh_ann": _q_sim_lsh_ann,
+        "mm_features": _q_mm_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles — DuckDB SQL
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pages = pages_cte_sql()
+    cell = cell_id_sql("lon", "lat", CELL_RES)
+    countries_values = ", ".join(
+        f"('{c}', {xmin!r}, {ymin!r}, {xmax!r}, {ymax!r})"
+        for c, _, xmin, ymin, xmax, ymax in COUNTRIES
+    )
+    knn_values = ", ".join(f"({qid}, {lat!r}, {lon!r})" for qid, lat, lon in KNN_QUERIES)
+    hav = haversine_m_sql("q.qlat", "q.qlon", "p.lat", "p.lon")
+    return {
+        "geo_cell_counts": f"""
+WITH pages AS ({pages})
+SELECT {cell} AS cell, count(*) AS n_pages FROM pages GROUP BY 1
+""",
+        "geo_pip_countries": f"""
+WITH pages AS ({pages}),
+countries(code, xmin, ymin, xmax, ymax) AS (VALUES {countries_values})
+SELECT code, count(*) AS n_pages
+FROM pages p JOIN countries c
+  ON p.lon >= c.xmin AND p.lon <= c.xmax AND p.lat >= c.ymin AND p.lat <= c.ymax
+GROUP BY code
+""",
+        "geo_pip_rows": f"""
+WITH pages AS ({pages}),
+countries(code, xmin, ymin, xmax, ymax) AS (VALUES {countries_values})
+SELECT page_id, code
+FROM pages p JOIN countries c
+  ON p.lon >= c.xmin AND p.lon <= c.xmax AND p.lat >= c.ymin AND p.lat <= c.ymax
+WHERE page_id % 7 = 0
+""",
+        "geo_knn": f"""
+WITH pages AS ({pages}),
+q(query_id, qlat, qlon) AS (VALUES {knn_values}),
+d AS (
+  SELECT q.query_id, p.page_id, {hav} AS dist_m
+  FROM pages p CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, page_id, dist_m,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist_m ASC, page_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, page_id, round(dist_m, 2) AS dist_m
+FROM ranked WHERE rank <= 5
+""",
+        "geo_tile_assign": f"""
+WITH {_MODIS_TILES_CTE},
+ext AS (
+  SELECT *, x0 AS txmin, y0 AS tymax, x0 + xres * xsize AS txmax, y0 + yres * ysize AS tymin
+  FROM tiles
+),
+u AS (
+  SELECT *,
+    min(txmin) OVER (PARTITION BY band) AS uxmin,
+    max(tymax) OVER (PARTITION BY band) AS uymax,
+    max(txmax) OVER (PARTITION BY band) AS uxmax,
+    min(tymin) OVER (PARTITION BY band) AS uymin
+  FROM ext
+)
+SELECT band, tile_name,
+  CAST(round((txmin - uxmin) / xres) AS BIGINT) AS dst_xoff,
+  CAST(round((uymax - tymax) / -yres) AS BIGINT) AS dst_yoff,
+  CAST(xsize AS BIGINT) AS xsize,
+  CAST(ysize AS BIGINT) AS ysize,
+  CAST(round((uxmax - uxmin) / xres) AS BIGINT) AS mosaic_xsize,
+  CAST(round((uymax - uymin) / -yres) AS BIGINT) AS mosaic_ysize
+FROM u
+""",
+        "geo_clip_window": f"""
+WITH {_MODIS_TILES_CTE},
+ext AS (
+  SELECT *, x0 AS txmin, y0 AS tymax, x0 + xres * xsize AS txmax, y0 + yres * ysize AS tymin
+  FROM tiles
+),
+u AS (
+  SELECT band,
+    min(txmin) AS uxmin, max(tymax) AS uymax, max(xres) AS xres, max(yres) AS yres
+  FROM ext GROUP BY band
+),
+bbox AS (
+  SELECT
+    6371007.181 * radians({ALBANIA_BBOX[0]!r}) * cos(radians({ALBANIA_BBOX[3]!r})) AS ulx,
+    6371007.181 * radians({ALBANIA_BBOX[3]!r}) AS uly,
+    6371007.181 * radians({ALBANIA_BBOX[2]!r}) * cos(radians({ALBANIA_BBOX[1]!r})) AS lrx,
+    6371007.181 * radians({ALBANIA_BBOX[1]!r}) AS lry
+),
+w AS (
+  SELECT band,
+    CAST(floor((ulx - uxmin) / xres + 0.001) AS BIGINT) AS xoff,
+    CAST(floor((uly - uymax) / yres + 0.001) AS BIGINT) AS yoff,
+    -- floor, not bare CAST: DuckDB casts double→int by rounding,
+    -- Spark/GDAL truncate
+    CAST(floor((lrx - ulx) / xres + 0.5) AS BIGINT) AS xsize,
+    CAST(floor((lry - uly) / yres + 0.5) AS BIGINT) AS ysize,
+    uxmin, uymax, xres, yres
+  FROM u CROSS JOIN bbox
+)
+SELECT band, xoff, yoff, xsize, ysize,
+  round(uxmin + xoff * xres, 4) AS out_origin_x,
+  round(uymax + yoff * yres, 4) AS out_origin_y
+FROM w
+""",
+        "geo_time_buckets": """
+SELECT
+  1483228800 + CAST(floor((CAST(epoch(ts) AS BIGINT) - 1483228800) / 86400.0) AS BIGINT) * 86400 AS bucket_s,
+  count(*) AS n,
+  round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+FROM events GROUP BY 1
+""",
+        "rel_q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+  round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+  round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+  round(CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE), 2) AS sum_charge,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_extendedprice), 4) AS avg_price,
+  round(avg(l_discount), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "rel_q3_shipping_priority": """
+SELECT l_orderkey,
+  round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+        "rel_q5_supplier_volume": """
+SELECT n_name,
+  round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+GROUP BY n_name
+""",
+        "rel_q6_forecast": """
+SELECT
+  round(CAST(sum(l_extendedprice * l_discount) AS DOUBLE), 2) AS revenue,
+  count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+""",
+        "rel_top_customers_window": """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, CAST(rnk AS BIGINT) AS rnk,
+       c_custkey, round(c_acctbal, 2) AS c_acctbal
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+  FROM customer
+) WHERE rnk <= 3
+""",
+        "rel_anti_join": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+        "rel_semi_join": """
+SELECT s_suppkey, s_name FROM supplier
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_suppkey = s_suppkey AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+)
+""",
+        "rel_rollup": """
+SELECT r_name, n_name, count(*) AS n_customers,
+       round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+        "rel_conditional_pivot": """
+SELECT user_id % 10 AS user_bucket, count(*) AS n,
+  round(CAST(sum(CASE WHEN event_type = 'click' THEN value ELSE 0.0 END) AS DOUBLE), 2) AS sum_click,
+  round(CAST(sum(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END) AS DOUBLE), 2) AS sum_view,
+  round(CAST(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS DOUBLE), 2) AS sum_purchase
+FROM events GROUP BY 1
+""",
+        "txt_stats": r"""
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS total_ws_tokens,
+  round(avg(length(text)), 4) AS avg_len
+FROM documents GROUP BY lang
+""",
+        "dedup_exact": """
+SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+""",
+        "dedup_trigram_jaccard": r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id < 100
+),
+grams AS (
+  -- constant series bound (max doc length < 2000) + filter: DuckDB's
+  -- generate_series cannot take lateral column parameters
+  SELECT DISTINCT doc_id, substring(t, CAST(i AS INTEGER), 3) AS g
+  FROM norm, generate_series(1, 2000) AS s(i)
+  WHERE i <= greatest(length(t) - 2, 1)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / (sa.n + sb.n - n_common) >= 0.2
+""",
+        "sim_cosine_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 3
+),
+c AS (
+  SELECT q.query_id, e.vec_id,
+    list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM c
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= 5
+""",
+        "sim_label_centroid": """
+WITH counts AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY label
+),
+cent AS (
+  SELECT label, array_agg(cm ORDER BY i) AS centroid
+  FROM (
+    SELECT label, i, round(avg(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)), 8) AS cm
+    FROM embeddings, generate_series(1, 64) AS s(i)
+    GROUP BY label, i
+  ) GROUP BY label
+),
+j AS (
+  SELECT e.label, e.vec_id,
+    list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(c.centroid, c.centroid))) AS cos
+  FROM embeddings e JOIN cent c ON e.label = c.label
+)
+SELECT CAST(j.label AS BIGINT) AS label, max(counts.n_vecs) AS n_vecs,
+       round(avg(cos), 4) AS mean_cos_to_centroid
+FROM j JOIN counts ON j.label = counts.label GROUP BY j.label
+""",
+    }

@@ -138,12 +138,19 @@ def k_ring(cid: int, k: int) -> list[int]:
     res, x, y = decode(np.array([cid]))
     res, x, y = int(res[0]), int(x[0]), int(y[0])
     nx, ny = nx_ny(res)
+    # when the ring spans the full longitude circle, every column
+    # appears exactly once (no duplicate cells from modulo wrap)
+    if 2 * k + 1 >= nx:
+        dxs = range(nx)
+        x = 0
+    else:
+        dxs = range(-k, k + 1)
     out = []
     for dy in range(-k, k + 1):
         yy = y + dy
         if yy < 0 or yy >= ny:
             continue
-        for dx in range(-k, k + 1):
+        for dx in dxs:
             xx = (x + dx) % nx
             out.append(int(encode(res, xx, yy)))
     return out

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from earth_data_kit_spark.partitioning import ensure_parallelism
 from earth_data_kit_spark.functions.udfs import (
     minhash_bands_udf,
     minhash_sig_udf,
@@ -59,9 +60,14 @@ def minhash_lsh_pairs(
     """
     sig_udf = minhash_sig_udf(num_perm, shingle_k)
     band_udf = minhash_bands_udf(bands)
+    df = ensure_parallelism(df)
     sigs = df.select(
         F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig")
     ).withColumn("band_key", F.explode(band_udf(F.col("sig"))))
+    # cache: the signature UDF pass feeds the skew guard AND both join
+    # sides — without this the minhash UDF runs 3× (at 100 TB the
+    # signatures are a checkpointed stage, see plans/lineage.py)
+    sigs = sigs.persist()
 
     # skew guard: drop degenerate buckets
     sizes = sigs.groupBy("band_key").count().where(F.col("count") <= max_bucket)
@@ -100,6 +106,7 @@ def simhash_pairs(
     keys (any pair within hamming ≤ 3 of each other shares at least
     one exact 16-bit band — pigeonhole), then exact hamming filter.
     Output: (id_a, id_b, hamming)."""
+    df = ensure_parallelism(df)
     sh = df.select(F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("sh"))
     banded = sh.select(
         "id", "sh", F.explode(F.array(*[
@@ -133,6 +140,7 @@ def ngram_jaccard_pairs(
     UDF): |A∩B| from a self-join on shingle hash, |A∪B| = |A|+|B|−∩.
     Output: (id_a, id_b, jaccard).  Quadratic only within documents
     sharing shingles — the classic inverted-index trick."""
+    df = ensure_parallelism(df)
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingle_hashes_udf(shingle_k)(F.col(text_col))).alias("shingle"),
@@ -165,6 +173,7 @@ def embedding_neardup_pairs(
     exact cosine within bucket.  Output (id_a, id_b, cosine)."""
     from earth_data_kit_spark.operators.similarity import cosine_col, srp_bucket_udf
 
+    emb = ensure_parallelism(emb)
     bucketed = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         srp_bucket_udf(n_planes)(F.col(vec_col)).alias("bucket"),

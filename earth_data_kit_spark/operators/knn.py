@@ -71,14 +71,41 @@ def knn_join(
     spark = points.sparkSession
     pts = points.withColumn("cell", cell_id_col(F.col(lon_col), F.col(lat_col), res))
 
+    # Exactness guarantee for auto_grow: after finding ≥k candidates
+    # at ring r, the k-th distance must not exceed the minimum
+    # distance to any cell OUTSIDE the ring, lower-bounded by
+    # (r-1) · cell_deg · 111194.9 · cos(highest |lat| the ring can
+    # reach) — otherwise a closer point could hide outside, so grow.
+    cell_deg = 180.0 / (1 << res)
+    m_per_deg = math.pi / 180.0 * 6371000.0  # meridional meters/degree
+
+    def _safe_radius(qlat: float, r: int) -> float:
+        if r < 1:
+            return 0.0
+        edge_lat = min(89.0, abs(qlat) + r * cell_deg)
+        return (r - 1) * cell_deg * m_per_deg * min(1.0, math.cos(math.radians(edge_lat)))
+
     while True:
         rings = query_rings_df(spark, queries, res, ring)
         cand = pts.join(F.broadcast(rings), "cell")
         if not auto_grow or ring >= max_ring:
             break
-        per_q = cand.groupBy("query_id").count()
-        starved = len(queries) - per_q.where(F.col("count") >= k).count()
-        if starved == 0:
+        dist0 = haversine_m_col(F.col("qlat"), F.col("qlon"), F.col(lat_col), F.col(lon_col))
+        wk = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc())
+        kth = (
+            cand.withColumn("dist_m", dist0)
+            .withColumn("rn", F.row_number().over(wk))
+            .where(F.col("rn") == k)
+            .select("query_id", F.col("dist_m").alias("dk"))
+            .collect()
+        )
+        dk = {r["query_id"]: r["dk"] for r in kth}
+        qlat_by_id = {qid: qlat for qid, qlat, _ in queries}
+        done = all(
+            dk.get(qid) is not None and dk[qid] <= _safe_radius(qlat_by_id[qid], ring)
+            for qid, _, _ in queries
+        )
+        if done:
             break
         ring = min(max_ring, ring * 2)
 

@@ -18,6 +18,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from earth_data_kit_spark.partitioning import ensure_parallelism
+
 
 def cosine_col(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float> columns — JVM-side only:
@@ -44,7 +46,7 @@ def cosine_topk_bruteforce(
     """Exact top-k: (query_id, rank, <id_col>, cosine)."""
     w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
-        emb.crossJoin(F.broadcast(queries))
+        ensure_parallelism(emb).crossJoin(F.broadcast(queries))
         .withColumn("cosine", cosine_col(F.col(vec_col), F.col(qvec_col)))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -112,7 +114,7 @@ def cosine_topk_lsh(
     reusable as a persisted index column at scale; candidates are
     deduped before the exact re-rank."""
     bucketer = srp_multi_bucket_udf(n_planes, dim, n_tables)
-    corpus = emb.withColumn("bucket", F.explode(bucketer(F.col(vec_col))))
+    corpus = ensure_parallelism(emb).withColumn("bucket", F.explode(bucketer(F.col(vec_col))))
     q = queries.withColumn("bucket", F.explode(bucketer(F.col(qvec_col))))
     cand = corpus.join(F.broadcast(q), "bucket").dropDuplicates([qid_col, id_col])
     w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())

@@ -61,11 +61,28 @@ def pages_cte_sql(documents: str = "documents", reps: int = 1) -> str:
             f" (doc_id * 1103515245 + 12345) % 2147483648 AS h FROM {documents}"
         )
     else:
-        series = " UNION ALL ".join(f"SELECT {i} AS r" for i in range(reps))
+        # factor the fan-out: a single UNION-ALL chain of thousands of
+        # SELECTs breaks SQL parsers; two crossed series of ≤64 terms
+        # cover reps = s1 × s2 (reps must stay a product of chunks)
+        def _series(n: int, alias: str) -> str:
+            return "(" + " UNION ALL ".join(f"SELECT {i} AS {alias}" for i in range(n)) + ")"
+
+        if reps <= 64:
+            rr = f"{_series(reps, 'r')} rr"
+            r_expr = "rr.r"
+        else:
+            s2 = 64
+            if reps % s2 != 0:
+                raise ValueError(f"reps > 64 must be a multiple of 64, got {reps}")
+            s1 = reps // s2
+            if s1 > 4096:
+                raise ValueError(f"reps too large: {reps}")
+            rr = f"{_series(s1, 'ra')} ra CROSS JOIN {_series(s2, 'rb')} rb"
+            r_expr = f"(ra.ra * {s2} + rb.rb)"
         base = (
-            f"SELECT d.doc_id * {reps} + rr.r AS page_id, d.doc_id,"
-            f" ((d.doc_id * {reps} + rr.r) * 1103515245 + 12345) % 2147483648 AS h"
-            f" FROM {documents} d CROSS JOIN ({series}) rr"
+            f"SELECT d.doc_id * {reps} + {r_expr} AS page_id, d.doc_id,"
+            f" ((d.doc_id * {reps} + {r_expr}) * 1103515245 + 12345) % 2147483648 AS h"
+            f" FROM {documents} d CROSS JOIN {rr}"
         )
     return f"""
 SELECT
@@ -122,17 +139,25 @@ def expected_text(text: str, doc_id: int) -> str:
     return extract_text(render_html(text, doc_id))
 
 
-def synth_pages_df(spark: SparkSession, sf_dir: str, reps: int = 1) -> DataFrame:
+def synth_pages_df(
+    spark: SparkSession, sf_dir: str, reps: int = 1, partitions: int | None = None
+) -> DataFrame:
     """Full pages table (url, warc_ts, html, text, lang, + derivation
     columns).  Geocoding markers: h%7==0 rows embed coords in the URL
     (``/@lat,lon``), h%7==1 rows carry a ``geo:`` marker in text, the
     rest geocode via ccTLD — exercising all three geocode paths.
+
+    ``partitions``: repartition BEFORE the html-render UDF — the
+    single-file documents parquet otherwise pins the whole Arrow UDF
+    stage to 1-2 partitions.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs.createOrReplaceTempView("documents")
     meta = spark.sql(pages_cte_sql(reps=reps)).join(
         F.broadcast(docs.select("doc_id", "text")), "doc_id"
     )
+    if partitions:
+        meta = meta.repartition(partitions)
 
     meta = meta.withColumn(
         "url",

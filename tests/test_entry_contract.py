@@ -1,0 +1,78 @@
+"""Local replica of the driver's correctness gate: every queries()
+entry with an oracle_sql() runs on Spark and DuckDB at sf0.01 and
+must match row-for-row (order-insensitive, exact after the rounding
+both sides already apply)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+    pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+    return pdf
+
+
+ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, ddb, name):
+    q = entrymod.queries()[name]
+    sdf = normalize(q(spark, SF).toPandas())
+    ddf = normalize(ddb.execute(entrymod.oracle_sql()[name]).fetchdf())
+    assert list(sdf.columns) == list(ddf.columns), (
+        f"columns differ: {list(sdf.columns)} vs {list(ddf.columns)}"
+    )
+    assert len(sdf) == len(ddf), f"row counts differ: {len(sdf)} vs {len(ddf)}"
+    for c in sdf.columns:
+        a, b = sdf[c].values, ddf[c].values
+        if np.issubdtype(sdf[c].dtype, np.floating) or np.issubdtype(ddf[c].dtype, np.floating):
+            bad = ~(
+                np.isclose(a.astype(float), b.astype(float), rtol=0, atol=1e-9)
+                | (pd.isna(a) & pd.isna(b))
+            )
+        else:
+            bad = a != b
+        assert not bad.any(), (
+            f"{name}.{c}: {bad.sum()} mismatches, first: "
+            f"{sdf[bad].head(3).to_dict('records')} vs {ddf[bad].head(3).to_dict('records')}"
+        )
+
+
+def test_rows_only_queries_run(spark):
+    oracle = set(entrymod.oracle_sql())
+    for name, q in entrymod.queries().items():
+        if name in oracle:
+            continue
+        df = q(spark, SF)
+        assert df.count() >= 0
+        assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    out = entrymod.entry(spark)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert set(out.columns) == {"code", "method", "n_pages"}

@@ -1,0 +1,226 @@
+"""Raster block pipeline: windowed reads, mask/scale, partial-agg
+reduction, regrid — the reference's xarray backend as DataFrame ops.
+
+The reference reads rasters in clamped pixel windows
+(/root/reference/earth_data_kit/xarray_boosted/entrypoint.py:95-133,
+R1), masks nodata → NaN (entrypoint.py:75-84, F8), applies
+scale/offset (86-91, F9), assembles chunks (edk_accessor.py:344-393,
+R3) and reduces with a manual weighted mean across threads
+(benchmarks/read_gdal_parallel.py:44-50, A5).
+
+Spark restatement: a **blocks table** — one row per raster block with
+the payload as a binary column of raw little-endian samples —
+processed by Arrow-batched ``mapInPandas``.  Block metadata (offsets,
+sizes) are plain columns, so window pruning is a Catalyst range
+filter that reaches the parquet scan; only surviving blocks are
+decoded in Python.  The global mean is a two-level aggregation: the
+pandas stage emits per-block (sum, count) partials, the final agg is
+native — exactly Spark's partial/final model, replacing the
+reference's hand-rolled thread pool.
+
+At 100 TB: blocks parquet is partitioned/sorted by (band,
+zorder(block)) so a window read prunes row groups; per-block payloads
+are O(block_size²·dtype) ≈ 0.5-8 MB — sized by the reference's own
+heuristic (grid/affine.py block_chunk_size, F14).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from earth_data_kit_spark.grid.affine import pixel_window_clamped
+
+BLOCK_SCHEMA = (
+    "tile_name string, band string, block_x int, block_y int, "
+    "xoff int, yoff int, xsize int, ysize int, dtype string, "
+    "nodataval double, scale double, offset double, payload binary"
+)
+
+
+def synth_blocks_df(
+    spark: SparkSession,
+    raster_x: int = 1024,
+    raster_y: int = 1024,
+    block: int = 256,
+    band: str = "B1",
+    nodata: float = 32767.0,
+    scale: float = 1e-4,
+    dtype: str = "int16",
+) -> DataFrame:
+    """Deterministic synthetic raster, value(x, y) = (x*31 + y*17) %
+    30000, with a nodata stripe at y % 97 == 0 — cut into blocks.
+    Built driver-side (small) then parallelized; a real ingest would
+    mapInPandas over tile paths."""
+    rows = []
+    for by in range(0, raster_y, block):
+        for bx in range(0, raster_x, block):
+            xs = min(block, raster_x - bx)
+            ys = min(block, raster_y - by)
+            xg, yg = np.meshgrid(np.arange(bx, bx + xs), np.arange(by, by + ys))
+            v = ((xg * 31 + yg * 17) % 30000).astype(np.int16)
+            v[yg % 97 == 0] = np.int16(int(nodata))
+            rows.append(
+                (
+                    "synth", band, bx // block, by // block,
+                    bx, by, xs, ys, dtype, nodata, scale, 0.0,
+                    v.tobytes(),
+                )
+            )
+    return spark.createDataFrame(rows, BLOCK_SCHEMA).repartition(8, "block_x", "block_y")
+
+
+def window_filter(blocks: DataFrame, xoff: int, yoff: int, xsize: int, ysize: int) -> DataFrame:
+    """Prune blocks outside the read window — a pure Column range
+    predicate (pushes to the parquet scan; no payload decode)."""
+    return blocks.where(
+        (F.col("xoff") < xoff + xsize)
+        & (F.col("xoff") + F.col("xsize") > xoff)
+        & (F.col("yoff") < yoff + ysize)
+        & (F.col("yoff") + F.col("ysize") > yoff)
+    )
+
+
+_DT = {"int16": np.int16, "uint8": np.uint8, "int32": np.int32, "float32": np.float32, "float64": np.float64}
+
+
+def _decode(row) -> np.ndarray:
+    a = np.frombuffer(row["payload"], dtype=_DT[row["dtype"]])
+    return a.reshape(int(row["ysize"]), int(row["xsize"]))
+
+
+def windowed_read(
+    blocks: DataFrame, xoff: int, yoff: int, xsize: int, ysize: int
+) -> DataFrame:
+    """R1/R3: clamped window read returning per-block sub-arrays as
+    rows (dst offsets relative to the window origin) — float32 with
+    nodata → NaN and scale/offset applied (the reference's force-cast
+    semantics, commons.py:6-7).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"dst_x": [], "dst_y": [], "xsize": [], "ysize": [], "values": []}
+            for _, row in pdf.iterrows():
+                # intersection of the request window with this block
+                ix0, iy0, iw, ih = pixel_window_clamped(
+                    xoff - int(row["xoff"]), yoff - int(row["yoff"]),
+                    xsize, ysize, int(row["xsize"]), int(row["ysize"]),
+                )
+                if iw == 0 or ih == 0:
+                    continue
+                arr = _decode(row)[iy0 : iy0 + ih, ix0 : ix0 + iw].astype(np.float32)
+                nod = row["nodataval"]
+                if nod is not None and not np.isnan(nod):
+                    arr = np.where(arr == np.float32(nod), np.nan, arr)
+                arr = arr * np.float32(row["scale"]) + np.float32(row["offset"])
+                out["dst_x"].append(int(row["xoff"]) + ix0 - xoff)
+                out["dst_y"].append(int(row["yoff"]) + iy0 - yoff)
+                out["xsize"].append(iw)
+                out["ysize"].append(ih)
+                out["values"].append(arr.astype(np.float32).ravel().tolist())
+            yield pd.DataFrame(out)
+
+    pruned = window_filter(blocks, xoff, yoff, xsize, ysize)
+    return pruned.mapInPandas(
+        run, schema="dst_x int, dst_y int, xsize int, ysize int, values array<float>"
+    )
+
+
+def assemble_window(read_df: DataFrame, xsize: int, ysize: int) -> np.ndarray:
+    """Driver-side assembly (test/export path only — R3's
+    ``result[x0:, y0:] = chunk``)."""
+    out = np.full((ysize, xsize), np.nan, dtype=np.float32)
+    for r in read_df.collect():
+        a = np.array(r["values"], dtype=np.float32).reshape(r["ysize"], r["xsize"])
+        out[r["dst_y"] : r["dst_y"] + r["ysize"], r["dst_x"] : r["dst_x"] + r["xsize"]] = a
+    return out
+
+
+def block_mean(blocks: DataFrame) -> DataFrame:
+    """A5: nan-aware mean via partial (per-block sum/count in the
+    Arrow stage) + final (native agg) — the distributed restatement
+    of benchmarks/read_gdal_parallel.py:44-50's weighted mean."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sums, cnts, bands = [], [], []
+            for _, row in pdf.iterrows():
+                arr = _decode(row).astype(np.float64)
+                nod = row["nodataval"]
+                if nod is not None and not np.isnan(nod):
+                    arr = np.where(arr == nod, np.nan, arr)
+                arr = arr * row["scale"] + row["offset"]
+                sums.append(np.nansum(arr))
+                cnts.append(int(np.sum(~np.isnan(arr))))
+                bands.append(row["band"])
+            yield pd.DataFrame({"band": bands, "s": sums, "n": cnts})
+
+    p = blocks.mapInPandas(partials, schema="band string, s double, n bigint")
+    return p.groupBy("band").agg(
+        (F.sum("s") / F.sum("n")).alias("mean"), F.sum("n").alias("n_valid")
+    )
+
+
+def regrid_bilinear(
+    blocks: DataFrame,
+    src_size: tuple[int, int],
+    dst_size: tuple[int, int],
+) -> DataFrame:
+    """J4/R9: grid-align a (small-per-group) raster onto a new grid by
+    bilinear interpolation — ``groupBy(tile, band).applyInPandas``:
+    each group assembles its blocks, interpolates in numpy, re-blocks.
+
+    Scale note: per-group assembly bounds group size to one tile
+    (2400² × 4 B ≈ 23 MB — executor-safe).  Cross-tile regrids at
+    100 TB would use halo exchange (explode each src block to the dst
+    blocks it contributes to, groupBy dst block) — same math, one
+    more shuffle; this entry point covers the reference's per-tile
+    warp semantics (dataset.py:516-541).
+    """
+    sw, sh = src_size
+    dw, dh = dst_size
+
+    def per_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        full = np.full((sh, sw), np.nan, dtype=np.float64)
+        scale = pdf.iloc[0]["scale"]
+        offset = pdf.iloc[0]["offset"]
+        nod = pdf.iloc[0]["nodataval"]
+        for _, row in pdf.iterrows():
+            arr = _decode(row).astype(np.float64)
+            if nod is not None and not np.isnan(nod):
+                arr = np.where(arr == nod, np.nan, arr)
+            full[
+                int(row["yoff"]) : int(row["yoff"]) + int(row["ysize"]),
+                int(row["xoff"]) : int(row["xoff"]) + int(row["xsize"]),
+            ] = arr * scale + offset
+        # bilinear sample at dst pixel centers mapped into src space
+        ys = (np.arange(dh) + 0.5) * (sh / dh) - 0.5
+        xs = (np.arange(dw) + 0.5) * (sw / dw) - 0.5
+        y0 = np.clip(np.floor(ys).astype(int), 0, sh - 2)
+        x0 = np.clip(np.floor(xs).astype(int), 0, sw - 2)
+        wy = (ys - y0)[:, None]
+        wx = (xs - x0)[None, :]
+        a = full[y0][:, x0]
+        b = full[y0][:, x0 + 1]
+        c = full[y0 + 1][:, x0]
+        d = full[y0 + 1][:, x0 + 1]
+        out = a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx + c * wy * (1 - wx) + d * wy * wx
+        return pd.DataFrame(
+            {
+                "tile_name": [key[0]],
+                "band": [key[1]],
+                "dst_xsize": [dw],
+                "dst_ysize": [dh],
+                "values": [out.astype(np.float32).ravel().tolist()],
+            }
+        )
+
+    return blocks.groupBy("tile_name", "band").applyInPandas(
+        per_group,
+        schema="tile_name string, band string, dst_xsize int, dst_ysize int, values array<float>",
+    )

@@ -116,6 +116,22 @@ _HTML_SCHEMA = (
 )
 
 
+def mutate_url(url: str, lat: float, lon: float, h: int) -> str:
+    """h%7==0 pages embed coordinates in the URL (url-geocode path).
+    Pure python (python round/str) so the golden generator and the
+    executor UDF format floats identically."""
+    if h % 7 == 0:
+        return f"{url}/@{round(lat, 4)},{round(lon, 4)}"
+    return url
+
+
+def mutate_text(text: str, lat: float, lon: float, h: int) -> str:
+    """h%7==1 pages carry a ``geo:`` marker (content-geocode path)."""
+    if h % 7 == 1:
+        return f"{text}\ngeo: {round(lat, 4)}, {round(lon, 4)}"
+    return text
+
+
 def render_html(text: str, doc_id: int) -> bytes:
     """Deterministic HTML wrapper whose extraction round-trips through
     text/extract.py (the golden invariant); includes tag/entity/
@@ -158,37 +174,36 @@ def synth_pages_df(
     )
     if partitions:
         meta = meta.repartition(partitions)
+    meta = meta.withColumn("warc_ts", F.timestamp_seconds(F.col("ts_s")))
 
-    meta = meta.withColumn(
-        "url",
-        F.when(
-            F.col("h") % 7 == 0,
-            F.concat(
-                F.col("url"), F.lit("/@"),
-                F.round(F.col("lat"), 4).cast("string"), F.lit(","),
-                F.round(F.col("lon"), 4).cast("string"),
-            ),
-        ).otherwise(F.col("url")),
-    ).withColumn(
-        "text",
-        F.when(
-            F.col("h") % 7 == 1,
-            F.concat(
-                F.col("text"), F.lit("\ngeo: "),
-                F.round(F.col("lat"), 4).cast("string"), F.lit(", "),
-                F.round(F.col("lon"), 4).cast("string"),
-            ),
-        ).otherwise(F.col("text")),
-    ).withColumn("warc_ts", F.timestamp_seconds(F.col("ts_s")))
+    # one fused Arrow pass: url/text mutation + html render (pure
+    # python twins shared with scripts/make_goldens.py)
+    @F.pandas_udf("struct<url: string, text: string, html: binary>")
+    def build_udf(
+        url: pd.Series, text: pd.Series, lat: pd.Series, lon: pd.Series,
+        h: pd.Series, page_id: pd.Series,
+    ) -> pd.DataFrame:
+        urls, texts, htmls = [], [], []
+        for u, t, la, lo, hh, pid in zip(url, text, lat, lon, h, page_id):
+            fu = mutate_url(u, la, lo, int(hh))
+            ft = mutate_text(t, la, lo, int(hh))
+            urls.append(fu)
+            texts.append(ft)
+            htmls.append(render_html(ft, int(pid)))
+        return pd.DataFrame({"url": urls, "text": texts, "html": htmls})
 
-    @F.pandas_udf("binary")
-    def render_udf(text: pd.Series, doc_id: pd.Series) -> pd.Series:
-        return pd.Series(
-            [render_html(t, int(d)) for t, d in zip(text, doc_id)], dtype=object
-        )
-
-    return meta.select(
-        "page_id", "doc_id", "url", "warc_ts",
-        render_udf(F.col("text"), F.col("page_id")).alias("html"),
-        "text", "lang", "lat", "lon", "h",
+    built = meta.withColumn(
+        "b",
+        build_udf(
+            F.col("url"), F.col("text"), F.col("lat"), F.col("lon"),
+            F.col("h"), F.col("page_id"),
+        ),
+    )
+    return built.select(
+        "page_id", "doc_id",
+        F.col("b.url").alias("url"),
+        "warc_ts",
+        F.col("b.html").alias("html"),
+        F.col("b.text").alias("text"),
+        "lang", "lat", "lon", "h",
     )

@@ -1,0 +1,92 @@
+"""Raster block pipeline vs numpy oracle (R1/R3/A5/F8/F9/J4)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from earth_data_kit_spark.operators import blocks as B
+
+RX, RY, BLK = 512, 512, 128
+NODATA, SCALE = 32767.0, 1e-4
+
+
+def oracle_raster():
+    xg, yg = np.meshgrid(np.arange(RX), np.arange(RY))
+    v = ((xg * 31 + yg * 17) % 30000).astype(np.float64)
+    v[yg % 97 == 0] = np.nan
+    return v * SCALE
+
+
+@pytest.fixture(scope="module")
+def blocks(spark):
+    return B.synth_blocks_df(spark, RX, RY, BLK, nodata=NODATA, scale=SCALE).cache()
+
+
+def test_window_filter_prunes(spark, blocks):
+    # a window inside one block touches exactly that block
+    assert B.window_filter(blocks, 10, 10, 50, 50).count() == 1
+    # spanning a block boundary touches 4
+    assert B.window_filter(blocks, 120, 120, 20, 20).count() == 4
+    # full raster touches all 16
+    assert B.window_filter(blocks, 0, 0, RX, RY).count() == 16
+
+
+def test_windowed_read_matches_oracle(spark, blocks):
+    win = (100, 90, 200, 150)  # crosses block boundaries
+    got = B.assemble_window(B.windowed_read(blocks, *win), win[2], win[3])
+    exp = oracle_raster()[win[1] : win[1] + win[3], win[0] : win[0] + win[2]].astype(np.float32)
+    assert got.shape == exp.shape
+    both_nan = np.isnan(got) & np.isnan(exp)
+    close = np.isclose(got, exp, rtol=1e-6, equal_nan=False)
+    assert (both_nan | close).all()
+
+
+def test_windowed_read_overhang_clamps(spark, blocks):
+    # window overhanging the raster edge (R1 clamp semantics)
+    got = B.assemble_window(B.windowed_read(blocks, RX - 50, RY - 40, 100, 100), 100, 100)
+    exp = np.full((100, 100), np.nan, dtype=np.float32)
+    exp[:40, :50] = oracle_raster()[RY - 40 :, RX - 50 :].astype(np.float32)
+    both_nan = np.isnan(got) & np.isnan(exp)
+    assert (both_nan | np.isclose(got, exp, rtol=1e-6)).all()
+
+
+def test_block_mean_matches_oracle(spark, blocks):
+    r = B.block_mean(blocks).collect()
+    assert len(r) == 1
+    exp = np.nanmean(oracle_raster())
+    n_exp = int(np.sum(~np.isnan(oracle_raster())))
+    assert r[0]["n_valid"] == n_exp
+    assert abs(r[0]["mean"] - exp) < 1e-9
+
+
+def test_block_mean_is_partial_final(spark, blocks):
+    plan = B.block_mean(blocks)._jdf.queryExecution().executedPlan().toString()
+    # partial+final hash aggregate around the exchange (A5 restated)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_regrid_bilinear_matches_oracle(spark):
+    bl = B.synth_blocks_df(spark, 64, 64, 32, nodata=-1.0, scale=1.0)
+    out = B.regrid_bilinear(bl, (64, 64), (32, 32)).collect()
+    assert len(out) == 1
+    got = np.array(out[0]["values"], dtype=np.float32).reshape(32, 32)
+
+    xg, yg = np.meshgrid(np.arange(64), np.arange(64))
+    full = ((xg * 31 + yg * 17) % 30000).astype(np.float64)
+    full[yg % 97 == 0] = np.nan  # the synth nodata stripe
+    ys = (np.arange(32) + 0.5) * 2 - 0.5
+    xs = (np.arange(32) + 0.5) * 2 - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, 62)
+    x0 = np.clip(np.floor(xs).astype(int), 0, 62)
+    wy = (ys - y0)[:, None]
+    wx = (xs - x0)[None, :]
+    exp = (
+        full[y0][:, x0] * (1 - wy) * (1 - wx)
+        + full[y0][:, x0 + 1] * (1 - wy) * wx
+        + full[y0 + 1][:, x0] * wy * (1 - wx)
+        + full[y0 + 1][:, x0 + 1] * wy * wx
+    ).astype(np.float32)
+    both_nan = np.isnan(got) & np.isnan(exp)
+    assert (both_nan | np.isclose(got, exp, rtol=1e-6)).all()
+    # NaN only where the nodata stripe contributes
+    assert np.isnan(exp).any() and not np.isnan(exp).all()

@@ -120,14 +120,15 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pages(html) → extract text UDF → geocode UDF → cell
     index → broadcast PIP join vs country polygons → per-country
     counts.  sf0.001, returns a small stable DataFrame."""
-    from earth_data_kit_spark.functions.udfs import extract_text_udf, geocode_udf
+    from earth_data_kit_spark.functions.udfs import extract_geocode_udf
     from earth_data_kit_spark.operators import spatial_join as sj
     from earth_data_kit_spark.sources.pages import synth_pages_df
 
     pages = synth_pages_df(spark, "/root/testdata/sf0.001")
-    text = pages.select("page_id", "url", extract_text_udf(F.col("html")).alias("text"))
     geo = (
-        text.select("page_id", "url", geocode_udf(F.col("url"), F.col("text")).alias("g"))
+        pages.select(
+            "page_id", extract_geocode_udf(F.col("html"), F.col("url")).alias("g")
+        )
         .select(
             "page_id",
             F.col("g.lat").alias("lat"),

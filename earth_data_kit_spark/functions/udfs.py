@@ -37,6 +37,31 @@ def geocode_udf(url: pd.Series, text: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["lat", "lon", "method"])
 
 
+@F.pandas_udf(
+    T.StructType(
+        [
+            T.StructField("text", T.StringType()),
+            T.StructField("lat", T.DoubleType()),
+            T.StructField("lon", T.DoubleType()),
+            T.StructField("method", T.StringType()),
+        ]
+    )
+)
+def extract_geocode_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+    """Fused hot path: html→text + geocode in ONE Arrow round trip
+    (two chained UDFs pay serde for the intermediate text column —
+    ~2× the transfer on the flagship pipeline)."""
+    texts, lats, lons, methods = [], [], [], []
+    for b, u in zip(html, url):
+        t = extract_text(b) if b is not None else ""
+        la, lo, m = geocode(u or "", t)
+        texts.append(t)
+        lats.append(la)
+        lons.append(lo)
+        methods.append(m)
+    return pd.DataFrame({"text": texts, "lat": lats, "lon": lons, "method": methods})
+
+
 def cell_id_udf(res: int):
     """Factory: quadgrid cell id at a fixed resolution.  (The pure-
     Column twin in columns.py is preferred in plans — this UDF exists

@@ -110,10 +110,38 @@ def knn_join(
         ring = min(max_ring, ring * 2)
 
     dist = haversine_m_col(F.col("qlat"), F.col("qlon"), F.col(lat_col), F.col(lon_col))
+    scored = cand.withColumn("dist_m", dist).select("query_id", id_col, "dist_m")
+    return _topk(scored, k, id_col)
+
+
+def _topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Top-k per query with map-side pruning.
+
+    A bare `row_number() over (partition by query_id)` shuffles EVERY
+    candidate into ≤|queries| partitions — a parallelism ceiling and
+    a skew trap (dense-cell queries).  Prune first: each input
+    partition keeps its local k smallest per query (Arrow batch
+    nsmallest), so the window shuffle carries ≤ k·partitions rows per
+    query — the partial/final pattern applied to ranking.
+    """
+    import pandas as pd
+
+    def local_prune(batches):
+        for pdf in batches:
+            if len(pdf):
+                pdf = (
+                    pdf.sort_values(["query_id", "dist_m", id_col])
+                    .groupby("query_id", sort=False)
+                    .head(k)
+                )
+            yield pdf
+
+    pruned = scored.mapInPandas(
+        local_prune, schema=f"query_id bigint, {id_col} bigint, dist_m double"
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col(id_col).asc())
     return (
-        cand.withColumn("dist_m", dist)
-        .withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "dist_m")
     )
@@ -133,11 +161,9 @@ def knn_brute_force(
     spark = points.sparkSession
     qdf = spark.createDataFrame(queries, "query_id bigint, qlat double, qlon double")
     dist = haversine_m_col(F.col("qlat"), F.col("qlon"), F.col(lat_col), F.col(lon_col))
-    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col(id_col).asc())
-    return (
+    scored = (
         points.crossJoin(F.broadcast(qdf))
         .withColumn("dist_m", dist)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", id_col, "dist_m")
+        .select("query_id", id_col, "dist_m")
     )
+    return _topk(scored, k, id_col)

@@ -168,6 +168,11 @@ def synth_pages_df(
     stage to 1-2 partitions.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if partitions:
+        # split the single-file scan BEFORE the fan-out so the whole
+        # synth (crossJoin + arithmetic + render) parallelizes —
+        # repartitioning after leaves a serial first stage (Amdahl)
+        docs = docs.repartition(max(8, partitions // 8))
     docs.createOrReplaceTempView("documents")
     meta = spark.sql(pages_cte_sql(reps=reps)).join(
         F.broadcast(docs.select("doc_id", "text")), "doc_id"

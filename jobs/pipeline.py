@@ -51,7 +51,7 @@ def main(argv: list[str] | None = None) -> None:
     args = ap.parse_args(argv)
 
     from earth_data_kit_spark.functions.columns import cell_id_col
-    from earth_data_kit_spark.functions.udfs import extract_text_udf, geocode_udf
+    from earth_data_kit_spark.functions.udfs import extract_geocode_udf
     from earth_data_kit_spark.operators import spatial_join as sj
     from earth_data_kit_spark.operators.knn import knn_join
     from earth_data_kit_spark.plans import lineage
@@ -84,11 +84,7 @@ def main(argv: list[str] | None = None) -> None:
     geo = (
         ingested.select(
             "page_id", "url", "part",
-            extract_text_udf(F.col("html")).alias("text"),
-        )
-        .select(
-            "page_id", "url", "part",
-            geocode_udf(F.col("url"), F.col("text")).alias("g"),
+            extract_geocode_udf(F.col("html"), F.col("url")).alias("g"),
         )
         .select(
             "page_id", "url", "part",

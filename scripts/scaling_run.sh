@@ -18,7 +18,7 @@ mkdir -p BENCH
 
 SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 REPS="${SPARK_GRAFT_PAGES_REPS:-4096}"
-ONLY="pip_join,knn,tile_assign"
+ONLY="pip_join,knn,tile_assign,extract_geocode"
 
 CAL=$(python3 - <<'EOF'
 import subprocess, sys, json
@@ -35,15 +35,16 @@ echo "materializing pages table (reps=$REPS)..." >&2
 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_PAGES_REPS="$REPS" \
   SPARK_GRAFT_BENCH_ONLY="pip_join" SPARK_GRAFT_BENCH_RUNS=1 python bench.py > /dev/null 2>&1
 
-run_level () {  # cores
+run_level () {  # cores [runs]
   local c=$1
+  local runs=${2:-3}
   taskset -c 0-$((c - 1)) env SPARK_GRAFT_CPUS=$c SPARK_GRAFT_SF_DIR="$SF_DIR" \
     SPARK_GRAFT_PAGES_REPS="$REPS" SPARK_GRAFT_BENCH_ONLY="$ONLY" \
-    python bench.py 2>/dev/null | tail -1
+    SPARK_GRAFT_BENCH_RUNS=$runs python bench.py 2>/dev/null | tail -1
 }
 
-J2=$(run_level 2);  J8=$(run_level 8)
-J32=$(run_level 32)
+J2=$(run_level 2 3);  J8=$(run_level 8 3)
+J32=$(run_level 32 2)
 
 python3 - "$J2" "$J8" "$J32" "$SF_DIR" "$REPS" "$CAL" <<'EOF'
 import json, sys, datetime
@@ -54,6 +55,7 @@ def thru(j):
     return j["pip_join_docs_per_sec"]
 
 eff = (thru(j8) / thru(j2)) / 4.0
+cal28 = (cal["8"] / cal["2"]) / 4.0
 eff832 = (thru(j32) / thru(j8)) / 4.0
 cal832 = (cal["32"] / cal["8"]) / 4.0
 knn_eff = (j2["queries"]["knn"] / j8["queries"]["knn"]) / 4.0
@@ -73,15 +75,18 @@ iterations/2s): {json.dumps(cal)} — 8→32 raw-CPU efficiency is only
 {cal832:.2f}, so the north-rule pair is N=2 vs 4N=8 (linear region);
 8→32 is reported against that ceiling.
 
-| cores | pip_join s | pip_join docs/s | knn s | tile_assign s |
-|---|---|---|---|---|
-| 2 (N)    | {j2['queries']['pip_join']} | {thru(j2):,.0f} | {j2['queries']['knn']} | {j2['queries']['tile_assign']} |
-| 8 (4N)   | {j8['queries']['pip_join']} | {thru(j8):,.0f} | {j8['queries']['knn']} | {j8['queries']['tile_assign']} |
-| 32 (16N) | {j32['queries']['pip_join']} | {thru(j32):,.0f} | {j32['queries']['knn']} | {j32['queries']['tile_assign']} |
+| cores | pip_join s | pip_join docs/s | knn s | extract docs/s | tile_assign s |
+|---|---|---|---|---|---|
+| 2 (N)    | {j2['queries']['pip_join']} | {thru(j2):,.0f} | {j2['queries']['knn']} | {j2['extract_docs_per_sec']:,.0f} | {j2['queries']['tile_assign']} |
+| 8 (4N)   | {j8['queries']['pip_join']} | {thru(j8):,.0f} | {j8['queries']['knn']} | {j8['extract_docs_per_sec']:,.0f} | {j8['queries']['tile_assign']} |
+| 32 (16N) | {j32['queries']['pip_join']} | {thru(j32):,.0f} | {j32['queries']['knn']} | {j32['extract_docs_per_sec']:,.0f} | {j32['queries']['tile_assign']} |
 
 - **spatial-join throughput scaling efficiency (N=2 → 4N=8): {eff:.3f}**
-  (north_rule criterion >= 0.8 {'MET' if eff >= 0.8 else 'NOT MET'})
+  (north_rule criterion >= 0.8 {'MET' if eff >= 0.8 else 'NOT MET'});
+  hardware delivered {cal28:.2f} in the same window → engine/hardware
+  ratio {eff / cal28:.3f}
 - kNN wall-clock efficiency 2→8: {knn_eff:.3f}
+- extract+geocode (fused Arrow UDF) efficiency 2→8: {(j8['extract_docs_per_sec']/j2['extract_docs_per_sec'])/4:.3f}
 - 8→32 efficiency: {eff832:.3f} (hardware ceiling {cal832:.2f})
 - raw JSON @2: {json.dumps(j2)}
 - raw JSON @8: {json.dumps(j8)}

@@ -240,6 +240,81 @@ def _q_geo_time_buckets(spark, sf_dir):
     )
 
 
+def _q_geo_time_expand(spark, sf_dir):
+    """S2 template time expansion (discover operator) — one row per
+    day with the strftime tokens spliced into the search path."""
+    from earth_data_kit_spark.operators.discover import expand_time
+
+    out = expand_time(
+        spark, "s3://bucket/%Y%j/scene_%Y-%m-%d.tif", "2017-01-01", "2017-01-31"
+    )
+    return out.select(
+        F.date_format("date", "yyyy-MM-dd").alias("day"), "search_path"
+    )
+
+
+def _q_geo_grid_expand(spark, sf_dir):
+    """S3 space expansion: {h}/{v} substitution for grid cells
+    intersecting the Albania bbox (MODIS-like inline grid)."""
+    from earth_data_kit_spark.operators.discover import expand_space, expand_time
+
+    grid = spark.createDataFrame(
+        [
+            ("19", "04", 11.54, 39.99, 26.08, 50.0),
+            ("19", "05", 10.0, 29.99, 22.5, 40.0),
+            ("20", "04", 26.0, 39.99, 43.0, 50.0),
+            ("18", "04", -3.0, 39.99, 11.53, 50.0),
+            ("10", "10", -100.0, -20.0, -90.0, -10.0),
+        ],
+        "h string, v string, minx double, miny double, maxx double, maxy double",
+    )
+    patterns = expand_time(
+        spark, "s3://modis/{h}/{v}/%Y%j/t_h{h}v{v}.tif", "2017-01-01", "2017-01-02"
+    )
+    out = expand_space(patterns, grid, ALBANIA_BBOX, ["h", "v"])
+    return out.select(
+        F.date_format("date", "yyyy-MM-dd").alias("day"), "h", "v", "search_path"
+    )
+
+
+def _q_rel_sessions(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user via lag +
+    gap-flag running sum (the window composition Spark lacks a
+    batch session_window shortcut for)."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.unix_timestamp(F.col("ts"))
+    gapped = ev.withColumn(
+        "new_sess",
+        F.when(ts_s - F.lag(ts_s).over(w) > 1800, 1).otherwise(F.lit(0)),
+    )
+    sess = gapped.withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            (F.max("sess_id") + 1).alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", F.col("n_sessions").cast("bigint").alias("n_sessions"), "n_events")
+    )
+
+
+def _q_rel_stats(spark, sf_dir):
+    """Exact distincts / exact interpolated median / stddev —
+    aggregate breadth with deterministic cross-engine semantics."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
 def _q_rel_q1_pricing_summary(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     return (
@@ -511,6 +586,32 @@ def _q_sim_lsh_ann(spark, sf_dir):
     )
 
 
+def _q_dd_embedding_pairs(spark, sf_dir):
+    from earth_data_kit_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, sim_threshold=0.5, n_planes=8).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def _q_geo_zorder_counts(spark, sf_dir):
+    """S2-role Morton ids: pages per z-order parent cell (locality-
+    preserving sort keys; UDF-computed, hence rows-only)."""
+    from earth_data_kit_spark.functions.udfs import zorder_id_udf
+    from earth_data_kit_spark.grid.cells import zorder_parent  # noqa: F401 (doc)
+
+    pages = _pages(spark, sf_dir)
+    z = pages.withColumn("z", zorder_id_udf(9)(F.col("lon"), F.col("lat")))
+    # parent at res 5 = strip res bits, shift morton by 2·(9−5), re-tag
+    parent_morton = F.shiftright(F.col("z") - F.lit(9 << 58), 8)
+    return (
+        z.withColumn("zp", parent_morton + F.lit(5 << 58))
+        .groupBy("zp")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
 def _q_mm_features(spark, sf_dir):
     from earth_data_kit_spark.operators.multimodal import extract_features, synth_media_df
 
@@ -531,7 +632,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tile_assign": _q_geo_tile_assign,
         "geo_clip_window": _q_geo_clip_window,
         "geo_time_buckets": _q_geo_time_buckets,
+        "geo_time_expand": _q_geo_time_expand,
+        "geo_grid_expand": _q_geo_grid_expand,
         # relational core
+        "rel_sessions": _q_rel_sessions,
+        "rel_stats": _q_rel_stats,
         "rel_q1_pricing_summary": _q_rel_q1_pricing_summary,
         "rel_q3_shipping_priority": _q_rel_q3_shipping_priority,
         "rel_q5_supplier_volume": _q_rel_q5_supplier_volume,
@@ -554,6 +659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_quality": _q_txt_quality,
         "sim_lsh_ann": _q_sim_lsh_ann,
         "mm_features": _q_mm_features,
+        "dd_embedding_pairs": _q_dd_embedding_pairs,
+        "geo_zorder_counts": _q_geo_zorder_counts,
     }
 
 
@@ -670,6 +777,54 @@ SELECT
   count(*) AS n,
   round(CAST(sum(value) AS DOUBLE), 2) AS total_value
 FROM events GROUP BY 1
+""",
+        "geo_time_expand": """
+SELECT strftime(d, '%Y-%m-%d') AS day,
+  concat('s3://bucket/', strftime(d, '%Y%j'), '/scene_', strftime(d, '%Y-%m-%d'), '.tif') AS search_path
+FROM generate_series(TIMESTAMP '2017-01-01', TIMESTAMP '2017-01-31', INTERVAL 1 DAY) AS t(d)
+""",
+        "geo_grid_expand": f"""
+WITH grid(h, v, minx, miny, maxx, maxy) AS (VALUES
+  ('19', '04', 11.54, 39.99, 26.08, 50.0),
+  ('19', '05', 10.0, 29.99, 22.5, 40.0),
+  ('20', '04', 26.0, 39.99, 43.0, 50.0),
+  ('18', '04', -3.0, 39.99, 11.53, 50.0),
+  ('10', '10', -100.0, -20.0, -90.0, -10.0)),
+days AS (
+  SELECT d FROM generate_series(TIMESTAMP '2017-01-01', TIMESTAMP '2017-01-02', INTERVAL 1 DAY) AS t(d)
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, h, v,
+  concat('s3://modis/', h, '/', v, '/', strftime(d, '%Y%j'), '/t_h', h, 'v', v, '.tif') AS search_path
+FROM days CROSS JOIN grid
+WHERE minx <= {ALBANIA_BBOX[2]!r} AND maxx >= {ALBANIA_BBOX[0]!r}
+  AND miny <= {ALBANIA_BBOX[3]!r} AND maxy >= {ALBANIA_BBOX[1]!r}
+""",
+        "rel_sessions": """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+              - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+  FROM g
+)
+SELECT user_id, CAST(max(sess_id) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id
+""",
+        "rel_stats": """
+SELECT
+  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+  round(stddev_samp(l_quantity), 6) AS sd_qty,
+  round(min(l_extendedprice), 2) AS min_price,
+  round(max(l_extendedprice), 2) AS max_price
+FROM lineitem
 """,
         "rel_q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,

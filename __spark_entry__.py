@@ -323,6 +323,32 @@ def _q_rel_sessions(spark, sf_dir):
     )
 
 
+ASOF_PROBE_DAYS = ["2024-01-05", "2024-01-15", "2024-01-31"]
+
+
+def _q_rel_asof_join(spark, sf_dir):
+    """As-of join: latest event at-or-before each probe time per user
+    (the nearest-label lookup / classic as-of join; DuckDB oracle
+    uses its native ASOF JOIN)."""
+    from earth_data_kit_spark.operators.asof import asof_join_latest
+
+    ev = _read(spark, sf_dir, "events")
+    probes = (
+        ev.select("user_id").distinct()
+        .crossJoin(
+            spark.createDataFrame([(d,) for d in ASOF_PROBE_DAYS], "day string")
+        )
+        .select("user_id", F.col("day"), F.to_timestamp("day").alias("ts"))
+    )
+    out = asof_join_latest(probes, ev, by="user_id", payload_cols=["event_id", "value"])
+    return out.select(
+        "user_id",
+        "day",
+        F.col("asof_event_id").alias("last_event_id"),
+        F.round("asof_value", 6).alias("last_value"),
+    )
+
+
 def _q_rel_stats(spark, sf_dir):
     """Exact distincts / exact interpolated median / stddev —
     aggregate breadth with deterministic cross-engine semantics."""
@@ -660,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational core
         "rel_sessions": _q_rel_sessions,
         "rel_stats": _q_rel_stats,
+        "rel_asof_join": _q_rel_asof_join,
         "rel_q1_pricing_summary": _q_rel_q1_pricing_summary,
         "rel_q3_shipping_priority": _q_rel_q3_shipping_priority,
         "rel_q5_supplier_volume": _q_rel_q5_supplier_volume,
@@ -851,6 +878,16 @@ s AS (
 )
 SELECT user_id, CAST(max(sess_id) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM s GROUP BY user_id
+""",
+        "rel_asof_join": f"""
+WITH probes AS (
+  SELECT DISTINCT user_id, day, CAST(day AS TIMESTAMP) AS pts
+  FROM events CROSS JOIN (VALUES {", ".join(f"('{d}')" for d in ASOF_PROBE_DAYS)}) AS d(day)
+)
+SELECT p.user_id, p.day, e.event_id AS last_event_id,
+       round(e.value, 6) AS last_value
+FROM probes p
+ASOF LEFT JOIN events e ON p.user_id = e.user_id AND e.ts <= p.pts
 """,
         "rel_stats": """
 SELECT

@@ -200,6 +200,19 @@ def _q_geo_pip_polygon(spark, sf_dir):
     return sj.pip_join(pages, polys, res=CELL_RES).select("page_id", "code")
 
 
+def _q_geo_pyramid(spark, sf_dir):
+    """Tile-pyramid rollup: per-cell page counts at res 7 rolled up
+    hierarchically to res 3 (aggregates-of-aggregates; the oracle
+    recomputes every level directly from lon/lat, cross-checking the
+    parent-cell arithmetic)."""
+    from earth_data_kit_spark.operators.pyramid import pyramid_rollup
+
+    pages = _pages(spark, sf_dir).withColumn(
+        "cell", cell_id_col(F.col("lon"), F.col("lat"), CELL_RES)
+    )
+    return pyramid_rollup(pages, "cell", CELL_RES, 3)
+
+
 def _q_geo_knn(spark, sf_dir):
     from earth_data_kit_spark.operators.knn import knn_join
 
@@ -214,6 +227,16 @@ def _q_geo_knn(spark, sf_dir):
         "page_id",
         F.round("dist_m", 2).alias("dist_m"),
     )
+
+
+def _q_geo_radius_join(spark, sf_dir):
+    """Range join: all pages within 300 km of each query point (cell
+    ring prefilter + haversine refine; oracle is brute force)."""
+    from earth_data_kit_spark.operators.knn import radius_join
+
+    pages = _pages(spark, sf_dir)
+    out = radius_join(pages, KNN_QUERIES, radius_m=300_000.0, res=6)
+    return out.select("query_id", "page_id", F.round("dist_m", 2).alias("dist_m"))
 
 
 def _q_geo_tile_assign(spark, sf_dir):
@@ -677,7 +700,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_pip_countries": _q_geo_pip_countries,
         "geo_pip_rows": _q_geo_pip_rows,
         "geo_pip_polygon": _q_geo_pip_polygon,
+        "geo_pyramid": _q_geo_pyramid,
         "geo_knn": _q_geo_knn,
+        "geo_radius_join": _q_geo_radius_join,
         "geo_tile_assign": _q_geo_tile_assign,
         "geo_clip_window": _q_geo_clip_window,
         "geo_time_buckets": _q_geo_time_buckets,
@@ -762,6 +787,14 @@ hp AS (
 )
 SELECT page_id, 'P5' AS code FROM hp WHERE inside
 """,
+        "geo_pyramid": f"""
+WITH pages AS ({pages})
+"""
+        + "\nUNION ALL\n".join(
+            f"SELECT CAST({r} AS BIGINT) AS res, {cell_id_sql('lon', 'lat', r)} AS cell,"
+            f" count(*) AS n FROM pages GROUP BY 2"
+            for r in range(3, CELL_RES + 1)
+        ),
         "geo_knn": f"""
 WITH pages AS ({pages}),
 q(query_id, qlat, qlon) AS (VALUES {knn_values}),
@@ -776,6 +809,13 @@ ranked AS (
 )
 SELECT query_id, CAST(rank AS BIGINT) AS rank, page_id, round(dist_m, 2) AS dist_m
 FROM ranked WHERE rank <= 5
+""",
+        "geo_radius_join": f"""
+WITH pages AS ({pages}),
+q(query_id, qlat, qlon) AS (VALUES {knn_values})
+SELECT q.query_id, p.page_id, round({hav}, 2) AS dist_m
+FROM pages p CROSS JOIN q
+WHERE {hav} <= 300000.0
 """,
         "geo_tile_assign": f"""
 WITH {_MODIS_TILES_CTE},

@@ -147,6 +147,40 @@ def _topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
     )
 
 
+def radius_join(
+    points: DataFrame,
+    queries: list[tuple[int, float, float]],
+    radius_m: float,
+    res: int = 7,
+    id_col: str = "page_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Range join: all points within ``radius_m`` of each query —
+    exact, because each query's ring is sized to cover the radius at
+    its latitude (ring_for_radius) and the haversine filter refines.
+    Same broadcast shape as kNN: the points side never shuffles.
+    Output: (query_id, <id_col>, dist_m)."""
+    spark = points.sparkSession
+    rows = []
+    for qid, qlat, qlon in queries:
+        ring = ring_for_radius(radius_m, res, at_lat=qlat)
+        c = cells.cell_id_single(qlon, qlat, res)
+        for cell in cells.k_ring(c, ring):
+            rows.append((qid, qlat, qlon, int(cell)))
+    rings = spark.createDataFrame(
+        rows, "query_id bigint, qlat double, qlon double, cell bigint"
+    )
+    pts = points.withColumn("cell", cell_id_col(F.col(lon_col), F.col(lat_col), res))
+    dist = haversine_m_col(F.col("qlat"), F.col("qlon"), F.col(lat_col), F.col(lon_col))
+    return (
+        pts.join(F.broadcast(rings), "cell")
+        .withColumn("dist_m", dist)
+        .where(F.col("dist_m") <= radius_m)
+        .select("query_id", id_col, "dist_m")
+    )
+
+
 def knn_brute_force(
     points: DataFrame,
     queries: list[tuple[int, float, float]],

@@ -408,8 +408,8 @@ def _q_rel_q1_pricing_summary(spark, sf_dir):
 
 def _q_rel_q3_shipping_priority(spark, sf_dir):
     c = _read(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    o = _read(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1995-03-15")
-    li = _read(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    o = _read(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-01-01")
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-01-01")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -442,8 +442,8 @@ def _q_rel_q6_forecast(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     return (
         li.where(
-            (F.col("l_shipdate") >= "1994-01-01")
-            & (F.col("l_shipdate") < "1995-01-01")
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -958,8 +958,8 @@ SELECT l_orderkey,
   round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
 FROM customer, orders, lineitem
 WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
-  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
 GROUP BY l_orderkey
 ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10
@@ -977,8 +977,8 @@ SELECT
   round(CAST(sum(l_extendedprice * l_discount) AS DOUBLE), 2) AS revenue,
   count(*) AS n_rows
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
   AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
 """,
         "rel_top_customers_window": """

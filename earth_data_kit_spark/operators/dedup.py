@@ -101,11 +101,21 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit simhash banded into 4×16-bit
     keys (any pair within hamming ≤ 3 of each other shares at least
     one exact 16-bit band — pigeonhole), then exact hamming filter.
-    Output: (id_a, id_b, hamming)."""
+    Output: (id_a, id_b, hamming).
+
+    ``max_bucket`` drops degenerate band buckets before the self-join
+    (same guard as minhash_lsh_pairs): a corpus with B empty or
+    boilerplate docs puts all B in one 16-bit band bucket → B²
+    candidate pairs — the skew failure mode at scale.  Recall note:
+    the hamming ≤ 3 guarantee holds only among docs whose shared band
+    bucket survives the cap; capped buckets are near-identical spam
+    by construction, the pairs a dedup pass drops first anyway.
+    """
     df = ensure_parallelism(df)
     sh = df.select(F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("sh"))
     banded = sh.select(
@@ -114,6 +124,11 @@ def simhash_pairs(
             for i in range(4)
         ])).alias("band_key"),
     )
+    # persist: the simhash UDF pass feeds the skew guard AND both
+    # join sides (same reasoning as the minhash signature cache)
+    banded = banded.persist()
+    sizes = banded.groupBy("band_key").count().where(F.col("count") <= max_bucket)
+    banded = banded.join(F.broadcast(sizes.select("band_key")), "band_key")
     a = banded.alias("a")
     b = banded.alias("b")
     xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))

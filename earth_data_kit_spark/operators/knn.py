@@ -32,10 +32,24 @@ from earth_data_kit_spark.grid import cells
 
 
 def ring_for_radius(radius_m: float, res: int, at_lat: float = 0.0) -> int:
-    """Smallest ring count whose cells cover a radius at a latitude."""
+    """Smallest ring count whose cells cover a radius at a latitude.
+
+    Sized at the WORST-case latitude reachable within the radius
+    (``|lat| + radius/111320``), where the longitudinal meter-width of
+    a cell is smallest — sizing at the query's own latitude under-
+    covers poleward radii.  When the radius reaches the pole the ring
+    spans the full longitude circle (k_ring handles the wrap), so the
+    join stays exact at any latitude."""
     cell_deg = 180.0 / (1 << res)
-    deg = radius_m / 111320.0 / max(0.2, math.cos(math.radians(at_lat)))
-    return max(1, math.ceil(deg / cell_deg))
+    nx = 2 << res
+    full_lon = (nx + 1) // 2  # 2k+1 >= nx → k_ring covers every column
+    radius_deg = radius_m / 111320.0
+    lat_reach = abs(at_lat) + radius_deg
+    y_ring = max(1, math.ceil(radius_deg / cell_deg))
+    if lat_reach >= 89.9:
+        return max(y_ring, full_lon)
+    deg = radius_deg / math.cos(math.radians(lat_reach))
+    return max(1, min(max(full_lon, y_ring), math.ceil(deg / cell_deg)))
 
 
 def query_rings_df(
@@ -69,7 +83,17 @@ def knn_join(
     verifies sufficiency and widens if any query is starved.
     """
     spark = points.sparkSession
-    pts = points.withColumn("cell", cell_id_col(F.col(lon_col), F.col(lat_col), res))
+    pts = points.select(id_col, lon_col, lat_col).withColumn(
+        "cell", cell_id_col(F.col(lon_col), F.col(lat_col), res)
+    )
+    if auto_grow:
+        # the growth loop re-joins the cell-indexed points once per
+        # iteration — persist the (projected) index so every probe
+        # AND the final pass read the in-memory columns instead of
+        # rescanning the source (this was the measured scaling
+        # bottleneck; at 100 TB this is the persisted/checkpointed
+        # cell index that radius/kNN queries share)
+        pts = pts.persist()
 
     # Exactness guarantee for auto_grow: after finding ≥k candidates
     # at ring r, the k-th distance must not exceed the minimum
@@ -85,29 +109,47 @@ def knn_join(
         edge_lat = min(89.0, abs(qlat) + r * cell_deg)
         return (r - 1) * cell_deg * m_per_deg * min(1.0, math.cos(math.radians(edge_lat)))
 
+    def _ring_for_dk(qlat: float, dk_m: float, start: int) -> int:
+        r = start
+        while r < max_ring and _safe_radius(qlat, r) < dk_m:
+            r += 1
+        return r
+
     while True:
         rings = query_rings_df(spark, queries, res, ring)
         cand = pts.join(F.broadcast(rings), "cell")
         if not auto_grow or ring >= max_ring:
             break
+        # ONE probe pass per iteration: per-query candidate count and
+        # k-th distance together; |queries| rows collected (bounded).
         dist0 = haversine_m_col(F.col("qlat"), F.col("qlon"), F.col(lat_col), F.col(lon_col))
         wk = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc())
-        kth = (
+        stats = (
             cand.withColumn("dist_m", dist0)
             .withColumn("rn", F.row_number().over(wk))
-            .where(F.col("rn") == k)
-            .select("query_id", F.col("dist_m").alias("dk"))
+            .groupBy("query_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.min(F.when(F.col("rn") == k, F.col("dist_m"))).alias("dk"),
+            )
             .collect()
         )
-        dk = {r["query_id"]: r["dk"] for r in kth}
-        qlat_by_id = {qid: qlat for qid, qlat, _ in queries}
-        done = all(
-            dk.get(qid) is not None and dk[qid] <= _safe_radius(qlat_by_id[qid], ring)
-            for qid, _, _ in queries
-        )
-        if done:
+        by_q = {r["query_id"]: (r["n"], r["dk"]) for r in stats}
+        # jump straight to the ring each query needs (instead of
+        # blind doubling — one extra pass typically suffices):
+        # * ≥k candidates → smallest ring whose safe radius covers dk
+        # * starved → scale by sqrt(k/n) (candidates grow ~ring²)
+        need = ring
+        for qid, qlat, _ in queries:
+            n, dk = by_q.get(qid, (0, None))
+            if dk is not None:
+                need = max(need, _ring_for_dk(qlat, dk, ring))
+            else:
+                grow = max(2.0, math.sqrt((k + 1) / max(n, 1)))
+                need = max(need, math.ceil(ring * grow))
+        if need <= ring:
             break
-        ring = min(max_ring, ring * 2)
+        ring = min(max_ring, need)
 
     dist = haversine_m_col(F.col("qlat"), F.col("qlon"), F.col(lat_col), F.col(lon_col))
     scored = cand.withColumn("dist_m", dist).select("query_id", id_col, "dist_m")
@@ -136,8 +178,11 @@ def _topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
                 )
             yield pdf
 
+    # splice the actual id dtype — hardcoding bigint breaks Arrow for
+    # string/int ids even though id_col is a public API parameter
+    id_type = scored.schema[id_col].dataType.simpleString()
     pruned = scored.mapInPandas(
-        local_prune, schema=f"query_id bigint, {id_col} bigint, dist_m double"
+        local_prune, schema=f"query_id bigint, {id_col} {id_type}, dist_m double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col(id_col).asc())
     return (

@@ -28,7 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from earth_data_kit_spark.functions.columns import cell_id_col, salt_col
+from earth_data_kit_spark.functions.columns import cell_id_col
 from earth_data_kit_spark.functions.udfs import pip_refine_udf
 from earth_data_kit_spark.grid import cells, geom
 
@@ -122,7 +122,11 @@ def pip_join(
 
 
 def salted_hot_keys(
-    df: DataFrame, key: str, hot_threshold: int, salt_buckets: int
+    df: DataFrame,
+    key: str,
+    hot_threshold: int,
+    salt_buckets: int,
+    salt_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Skew tooling (SURVEY.md §4 skew row): detect keys above a count
     threshold and return (df + salted_key column, hot_keys df).
@@ -131,20 +135,34 @@ def salted_hot_keys(
     as the shuffle key for joins/aggs whose per-key state is large,
     then merge partials by the true key.  AQE skew-join remains the
     runtime backstop (enabled in session.py).
+
+    The salt is ``pmod(xxhash64(salt_cols), salt_buckets)`` — pure row
+    content, so a task retry/speculative re-run salts every row the
+    same way (SURVEY.md §4's recipe).  Never derive the salt from
+    ``monotonically_increasing_id()``/``rand()``: those are
+    nondeterministic across retries, and a recomputed partition that
+    re-salts mid-shuffle duplicates or drops rows downstream.
+    ``salt_cols`` defaults to all columns except ``key`` (uniform
+    within a hot key as long as rows aren't full duplicates; pass an
+    explicit row-id column for duplicate-heavy data).
     """
+    salt_cols = salt_cols or [c for c in df.columns if c != key]
+    if not salt_cols:
+        raise ValueError("salted_hot_keys needs at least one non-key column to salt by")
     hot = (
         df.groupBy(key)
         .count()
         .where(F.col("count") >= hot_threshold)
         .select(key, F.lit(True).alias("is_hot"))
     )
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets))
     out = (
         df.join(F.broadcast(hot), key, "left")
         .withColumn(
             "salted_key",
             F.when(
                 F.col("is_hot").isNotNull(),
-                F.concat_ws("_", F.col(key).cast("string"), salt_col(F.col(key) + F.monotonically_increasing_id(), salt_buckets).cast("string")),
+                F.concat_ws("_", F.col(key).cast("string"), salt.cast("string")),
             ).otherwise(F.col(key).cast("string")),
         )
         .drop("is_hot")

@@ -68,9 +68,29 @@ def commit_stage(
     """
     t0 = time.time()
     out = f"{base_dir}/{stage}/data"
-    df.write.mode("overwrite").partitionBy(part_key).parquet(out)
+    # DYNAMIC overwrite is load-bearing for resume: Spark's default
+    # STATIC mode truncates the whole {stage}/data directory, so a
+    # partial resume (resume_filter passed only the missing
+    # partitions) would delete every previously committed partition
+    # while lineage still marks them done.  Dynamic mode replaces
+    # only the partitions present in ``df``.
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(part_key)
+        .parquet(out)
+    )
     spark = df.sparkSession
-    written = spark.read.parquet(out)
+    # lineage only for the partitions written THIS call — the re-read
+    # of {out} also contains partitions committed by earlier runs
+    # (dynamic overwrite keeps them), which must not get duplicate
+    # lineage rows.  New = on disk minus already-in-lineage; the
+    # anti-join is on the (bounded) partition key and the predicate
+    # partition-prunes the re-read.
+    done = completed_partitions(spark, base_dir, job_id, stage)
+    written = spark.read.parquet(out).join(
+        F.broadcast(done.withColumnRenamed("part_key", part_key)), part_key, "left_anti"
+    )
     lin = (
         partition_lineage(written, part_key, lineage_cols)
         .withColumn("job_id", F.lit(job_id))

@@ -112,14 +112,24 @@ def main(argv: list[str] | None = None) -> None:
     counts = joined.groupBy("code").agg(F.count("*").alias("n_pages")).withColumn(
         "part", F.lit(0)
     )
-    lineage.commit_stage(counts, base, job, "pip_counts", "part")
+    todo = lineage.resume_filter(counts, base, job, "pip_counts", "part")
+    if todo.isEmpty():
+        print(f"[{job}] pip_counts: all partitions committed, skipping")
+    else:
+        lineage.commit_stage(todo, base, job, "pip_counts", "part")
+    if args.fail_after_stage == "pip_counts":
+        raise SystemExit("injected failure after pip_counts")
 
     # ---- stage 4: kNN ----------------------------------------------------
     knn = knn_join(
         geocoded, em.KNN_QUERIES, k=5, res=5, ring=4, id_col="page_id",
         auto_grow=True, max_ring=64,
     ).withColumn("part", F.col("query_id"))
-    lineage.commit_stage(knn, base, job, "knn", "part")
+    todo = lineage.resume_filter(knn, base, job, "knn", "part")
+    if todo.isEmpty():
+        print(f"[{job}] knn: all partitions committed, skipping")
+    else:
+        lineage.commit_stage(todo, base, job, "knn", "part")
 
     # ---- report ----------------------------------------------------------
     lin = spark.read.parquet(f"{base}/lineage").where(F.col("job_id") == job)

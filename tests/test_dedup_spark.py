@@ -72,6 +72,28 @@ def test_simhash_pairs(spark, docs_with_dups):
     assert all(h <= 3 for h in hams.values())
 
 
+def test_simhash_degenerate_bucket_capped(spark, docs_with_dups):
+    """The B² skew guard: a pile of identical boilerplate docs all
+    simhash into ONE band bucket; with max_bucket they are dropped
+    before the self-join instead of producing B² candidate pairs,
+    while genuinely distinct near-dups are still found."""
+    boiler = spark.range(1000, 1300).select(
+        F.col("id").alias("doc_id"),
+        F.lit("lorem ipsum boilerplate footer").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("synthetic").alias("source"),
+        F.lit(30).alias("n_chars"),
+    )
+    both = docs_with_dups.unionByName(boiler)
+    pairs = dedup.simhash_pairs(both, max_hamming=3, max_bucket=100).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # no pair from the capped boilerplate cluster (300² avoided)
+    assert not any(1000 <= a < 1300 and 1000 <= b < 1300 for a, b in got)
+    # planted exact dups (distinct small buckets) still found
+    for i in range(10):
+        assert (i, i + 100000) in got
+
+
 def test_ngram_jaccard_exact(spark, docs_with_dups):
     small = docs_with_dups.where((F.col("doc_id") < 8) | (F.col("doc_id") >= 200000))
     pairs = dedup.ngram_jaccard_pairs(small, shingle_k=3, threshold=0.3).collect()

@@ -25,6 +25,38 @@ def test_commit_and_resume(spark, tmp_path):
     assert other.count() == pages.count()
 
 
+def test_partial_resume_preserves_committed_partitions(spark, tmp_path):
+    """The STATIC-overwrite trap: committing the MISSING partitions of
+    a resumed job must not delete previously committed partitions'
+    data (dynamic partition overwrite), and must not duplicate their
+    lineage rows."""
+    base = str(tmp_path / "ckpt")
+    pages = pages_meta_df(spark, SF).withColumn("part", F.col("page_id") % 4)
+    total = pages.count()
+
+    # first run commits only partitions {0, 1} (simulated crash)
+    first = pages.where(F.col("part") < 2)
+    lineage.commit_stage(first, base, "job1", "geocode", "part")
+    assert spark.read.parquet(f"{base}/geocode/data").count() == first.count()
+
+    # resumed run commits the remaining partitions {2, 3}
+    todo = lineage.resume_filter(pages, base, "job1", "geocode", "part")
+    assert sorted(r.part for r in todo.select("part").distinct().collect()) == [2, 3]
+    lin2 = lineage.commit_stage(todo, base, "job1", "geocode", "part")
+
+    # all four partitions' data survive, nothing lost or duplicated
+    assert spark.read.parquet(f"{base}/geocode/data").count() == total
+    # the second commit wrote lineage ONLY for the new partitions
+    assert sorted(r.part_key for r in lin2.collect()) == [2, 3]
+    lin_all = spark.read.parquet(f"{base}/lineage")
+    per_part = {
+        r.part_key: r.n
+        for r in lin_all.groupBy("part_key").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_part == {0: 1, 1: 1, 2: 1, 3: 1}
+    assert lin_all.agg(F.sum("row_count")).first()[0] == total
+
+
 def test_checksum_detects_corruption(spark, tmp_path):
     pages = pages_meta_df(spark, SF).withColumn("part", F.col("page_id") % 2)
     lin1 = lineage.partition_lineage(pages, "part").collect()

@@ -108,6 +108,51 @@ def test_salted_hot_keys(spark):
     assert all(r.n > 1 for r in fan)
 
 
+def test_salted_key_deterministic_and_merge_correct(spark):
+    """Retry safety: the salt derives from row content only, so two
+    independent evaluations of the plan assign every row the same
+    salted_key (monotonically_increasing_id would not) — and the
+    two-level aggregate over salted keys merges back to the truth."""
+    from earth_data_kit_spark.functions.columns import cell_id_col
+    from pyspark.sql import functions as F
+
+    pages = pages_meta_df(spark, SF)
+    df = pages.withColumn("cell", cell_id_col(F.col("lon"), F.col("lat"), 7))
+    salted, _ = sj.salted_hot_keys(df, "cell", hot_threshold=50, salt_buckets=8)
+    m1 = {r.page_id: r.salted_key for r in salted.select("page_id", "salted_key").collect()}
+    m2 = {r.page_id: r.salted_key for r in salted.select("page_id", "salted_key").collect()}
+    assert m1 == m2
+    # partial (by salted_key) + final (by cell) == direct groupBy(cell)
+    partial = salted.groupBy("cell", "salted_key").agg(F.count("*").alias("n"))
+    merged = {
+        r.cell: r.n
+        for r in partial.groupBy("cell").agg(F.sum("n").alias("n")).collect()
+    }
+    direct = {r.cell: r["count"] for r in df.groupBy("cell").count().collect()}
+    assert merged == direct
+
+
+def test_salted_hot_keys_string_key(spark):
+    """String keys must salt too (the old key-arithmetic salt coerced
+    strings to null and silently degenerated to a no-op)."""
+    from earth_data_kit_spark.functions.columns import cell_id_col
+    from pyspark.sql import functions as F
+
+    pages = pages_meta_df(spark, SF)
+    df = pages.withColumn(
+        "cell_s", cell_id_col(F.col("lon"), F.col("lat"), 7).cast("string")
+    )
+    salted, hot = sj.salted_hot_keys(df, "cell_s", hot_threshold=50, salt_buckets=8)
+    assert hot.count() >= 1
+    fan = (
+        salted.groupBy("cell_s")
+        .agg(F.countDistinct("salted_key").alias("n"))
+        .join(hot, "cell_s", "left_semi")
+        .collect()
+    )
+    assert fan and all(r.n > 1 for r in fan)
+
+
 def test_pip_join_shuffle_strategy_same_result(spark, polys):
     # the big-polygon-set path: shuffle join on cell gives identical
     # rows to the broadcast path

@@ -25,6 +25,19 @@ from earth_data_kit_spark.functions.columns import (
     haversine_m_sql,
 )
 from earth_data_kit_spark.sources.pages import pages_cte_sql
+from earth_data_kit_spark.text import textcols as _tc
+
+
+def _langid_marker_values() -> str:
+    """(lang, word) VALUES rows from the one marker table all three
+    langid implementations share (analysis._LANG_MARKERS)."""
+    from earth_data_kit_spark.text.analysis import _LANG_MARKERS
+
+    return ", ".join(
+        f"('{lang}', '{w}')"
+        for lang, ws in sorted(_LANG_MARKERS.items())
+        for w in ws
+    )
 
 # ---------------------------------------------------------------------------
 # shared fixtures (country bboxes from the reference's public-domain
@@ -660,22 +673,49 @@ def _q_dd_simhash_pairs(spark, sf_dir):
 
 
 def _q_txt_langid(spark, sf_dir):
-    from earth_data_kit_spark.functions.udfs import detect_lang_udf
+    """Stopword-profile language ID, pure Columns: letter tokens →
+    broadcast marker join → argmax per doc (ties to first lang,
+    strictly-greater semantics) → counts.  The pandas-UDF variant
+    (detect_lang_udf) is pinned equal in tests/test_text_spark.py;
+    this JVM plan is the 100 TB path."""
+    from earth_data_kit_spark.text.analysis import _LANG_MARKERS
+    from earth_data_kit_spark.text.textcols import letter_tokens_col
 
     d = _read(spark, sf_dir, "documents")
-    return d.groupBy(detect_lang_udf(F.col("text")).alias("pred_lang")).agg(
-        F.count("*").alias("n_docs")
+    toks = d.select("doc_id", F.explode(letter_tokens_col(F.col("text"))).alias("tok"))
+    markers = spark.createDataFrame(
+        [(lang, w) for lang, ws in sorted(_LANG_MARKERS.items()) for w in ws],
+        "lang string, word string",
     )
+    hits = (
+        toks.join(F.broadcast(markers), toks.tok == markers.word)
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("h"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("h").desc(), F.col("lang").asc())
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("best_lang"))
+    )
+    pred = d.select("doc_id").join(best, "doc_id", "left").select(
+        F.coalesce("best_lang", F.lit("und")).alias("pred_lang")
+    )
+    return pred.groupBy("pred_lang").agg(F.count("*").alias("n_docs"))
 
 
 def _q_txt_quality(spark, sf_dir):
-    from earth_data_kit_spark.functions.udfs import quality_score_udf, token_count_udf
+    """Per-doc quality score + token count as pure Columns (codegen);
+    same arithmetic as analysis.quality_score — the python UDF twin is
+    pinned equal in tests/test_text_spark.py, the DuckDB oracle
+    mirrors it term for term (textcols.quality_score_duckdb_sql)."""
+    from earth_data_kit_spark.text.textcols import quality_score_col, token_count_col
 
     d = _read(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.round(quality_score_udf(F.col("text")), 6).alias("quality"),
-        token_count_udf(F.col("text")).cast("bigint").alias("n_tokens"),
+        quality_score_col(F.col("text")).alias("quality"),
+        token_count_col(F.col("text")).cast("bigint").alias("n_tokens"),
     )
 
 
@@ -762,6 +802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_conditional_pivot": _q_rel_conditional_pivot,
         # text / dedup / similarity
         "txt_stats": _q_txt_stats,
+        "txt_langid": _q_txt_langid,
+        "txt_quality": _q_txt_quality,
         "dedup_exact": _q_dedup_exact,
         "dedup_trigram_jaccard": _q_dedup_trigram_jaccard,
         "sim_cosine_topk": _q_sim_cosine_topk,
@@ -769,8 +811,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no oracle entry)
         "dd_minhash_pairs": _q_dd_minhash_pairs,
         "dd_simhash_pairs": _q_dd_simhash_pairs,
-        "txt_langid": _q_txt_langid,
-        "txt_quality": _q_txt_quality,
         "sim_lsh_ann": _q_sim_lsh_ann,
         "mm_features": _q_mm_features,
         "dd_embedding_pairs": _q_dd_embedding_pairs,
@@ -1069,6 +1109,31 @@ SELECT lang, count(*) AS n_docs,
                 ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS total_ws_tokens,
   round(avg(length(text)), 4) AS avg_len
 FROM documents GROUP BY lang
+""",
+        "txt_quality": f"""
+SELECT doc_id,
+  {_tc.quality_score_duckdb_sql("text")} AS quality,
+  CAST({_tc.token_count_duckdb_sql("text")} AS BIGINT) AS n_tokens
+FROM documents
+""",
+        "txt_langid": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_tc.letter_tokens_duckdb_sql("text")}) AS tok FROM documents
+),
+m(lang, word) AS (VALUES {_langid_marker_values()}),
+hits AS (
+  SELECT doc_id, lang, count(*) AS h FROM toks JOIN m ON tok = word GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang ASC) AS rn
+  FROM hits
+),
+pred AS (
+  SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang
+  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+)
+SELECT pred_lang, count(*) AS n_docs FROM pred GROUP BY 1
 """,
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id, count(*) AS n_dups

@@ -45,32 +45,51 @@ def whitespace_token_count(text: str) -> int:
     return 0 if not t else len(_WS.split(t))
 
 
+# ASCII character classes, deliberately: the quality/langid arithmetic
+# is mirrored THREE ways (this python oracle, Spark Columns, DuckDB
+# SQL — see functions/textcols.py and __spark_entry__.py), and
+# Python's unicode-aware str.isalpha() disagrees with RE2/Java \p{L}
+# on edge cases.  Fixing the classes to ASCII makes all three engines
+# bit-identical; non-ASCII chars count as punctuation uniformly.
+_RE_ALPHA = re.compile(r"[A-Za-z]")
+_RE_DIGIT = re.compile(r"[0-9]")
+_RE_SPACE = re.compile(r"[ \t\n\r\f\v]")
+_RE_NONLETTER = re.compile(r"[^a-z]+")
+
+
 def quality_stats(text: str) -> dict:
     """Length/punct/stopword ratio quality signals (C4/Gopher-style
-    heuristics from public literature)."""
+    heuristics from public literature).  Every field is expressible
+    as the same arithmetic in Spark SQL and DuckDB; words are
+    whitespace tokens, character classes are ASCII (see note above).
+    """
     t = text or ""
     n = len(t)
-    toks = tokenize(t)
-    words = [w for w in toks if w[0].isalnum()]
-    n_alpha = sum(ch.isalpha() for ch in t)
-    n_digit = sum(ch.isdigit() for ch in t)
-    n_punct = sum(not ch.isalnum() and not ch.isspace() for ch in t)
+    n_alpha = len(_RE_ALPHA.findall(t))
+    n_digit = len(_RE_DIGIT.findall(t))
+    n_space = len(_RE_SPACE.findall(t))
+    n_punct = n - n_alpha - n_digit - n_space
+    n_words = whitespace_token_count(t)
+    letters = letter_tokens(t)
     en_stop = set(_LANG_MARKERS["en"])
-    stop_hits = sum(1 for w in words if w.lower() in en_stop)
+    stop_hits = sum(1 for w in letters if w in en_stop)
     return {
         "n_chars": n,
-        "n_tokens": len(toks),
-        "n_words": len(words),
-        "mean_word_len": (sum(map(len, words)) / len(words)) if words else 0.0,
+        "n_tokens": token_count(t),
+        "n_words": n_words,
+        "mean_word_len": (n - n_space) / n_words if n_words else 0.0,
         "alpha_ratio": n_alpha / n if n else 0.0,
         "digit_ratio": n_digit / n if n else 0.0,
         "punct_ratio": n_punct / n if n else 0.0,
-        "stopword_ratio": stop_hits / len(words) if words else 0.0,
+        "stopword_ratio": stop_hits / len(letters) if letters else 0.0,
     }
 
 
 def quality_score(text: str) -> float:
-    """Scalar [0,1] quality score from the stats (fixed weights)."""
+    """Scalar [0,1] quality score from the stats (fixed weights).
+    Pure CASE/arithmetic over quality_stats fields — the single
+    source of truth mirrored by quality_score_col (Spark) and
+    quality_score_duckdb_sql (oracle)."""
     s = quality_stats(text)
     score = 1.0
     if s["n_words"] < 5:
@@ -83,9 +102,17 @@ def quality_score(text: str) -> float:
     return round(score, 6)
 
 
+def letter_tokens(text: str) -> list[str]:
+    """Lowercase [a-z]+ token stream (non-letters → separators) — the
+    normalization shared by langid across python/Spark/DuckDB."""
+    return [w for w in _RE_NONLETTER.sub(" ", (text or "").lower()).split(" ") if w]
+
+
 def detect_lang(text: str) -> str:
-    """Stopword-profile language ID; 'und' when nothing matches."""
-    words = [w.lower() for w in tokenize(text or "") if w[0].isalpha()]
+    """Stopword-profile language ID over letter_tokens; 'und' when
+    nothing matches.  Ties break to the alphabetically-first language
+    (strictly-greater update over sorted langs)."""
+    words = letter_tokens(text)
     if not words:
         return "und"
     bag: dict[str, int] = {}

@@ -22,10 +22,30 @@ from pyspark.sql import functions as F
 from earth_data_kit_spark.functions.columns import (
     cell_id_col,
     cell_id_sql,
+    cell_x_sql,
+    cell_y_sql,
     haversine_m_sql,
 )
 from earth_data_kit_spark.sources.pages import pages_cte_sql
 from earth_data_kit_spark.text import textcols as _tc
+
+
+from pathlib import Path as _Path
+
+# golden per-doc sketches (single-node python recompute; see
+# scripts/make_goldens.py §7) — input of the dd_* DuckDB oracles
+_SKETCHES_GOLDEN = str(_Path(__file__).resolve().parent / "goldens" / "text_sketches_sf001.parquet")
+
+
+def _morton_sql(x: str, y: str, xbits: int, ybits: int) -> str:
+    """Bit-interleave (x odd positions, y even — grid/cells.py
+    zorder_id) as pure integer arithmetic, valid in DuckDB."""
+    terms = []
+    for i in range(xbits):
+        terms.append(f"((({x}) // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    for i in range(ybits):
+        terms.append(f"((({y}) // {1 << i}) % 2) * {1 << (2 * i)}")
+    return "(" + " + ".join(terms) + ")"
 
 
 def _langid_marker_values() -> str:
@@ -656,19 +676,36 @@ def _q_sim_label_centroid_sim(spark, sf_dir):
 
 
 def _q_dd_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs.  Oracle: DuckDB re-derives the
+    banded self-join + slot-match estimator from the golden per-doc
+    signatures (goldens/text_sketches_sf001.parquet, single-node
+    python recompute) — a differential test of the distributed LSH
+    machinery; the signature function itself is pinned by unit tests.
+    """
     from earth_data_kit_spark.operators.dedup import minhash_lsh_pairs
 
     d = _read(spark, sf_dir, "documents")
     out = minhash_lsh_pairs(d, threshold=0.3)
-    return out.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    return _nonempty(
+        out.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")),
+        "dd_minhash_pairs",
+    )
 
 
 def _q_dd_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at hamming ≤ 3 — EXACT by pigeonhole
+    (4×16-bit bands), so the result set equals the all-pairs hamming
+    filter the DuckDB oracle computes over the golden simhash values.
+    (max_hamming > 3 would make banding a recall-lossy prefilter and
+    the gate un-oracle-able.)"""
     from earth_data_kit_spark.operators.dedup import simhash_pairs
 
     d = _read(spark, sf_dir, "documents")
-    return simhash_pairs(d, max_hamming=6).select(
-        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    return _nonempty(
+        simhash_pairs(d, max_hamming=3).select(
+            "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+        ),
+        "dd_simhash_pairs",
     )
 
 
@@ -746,7 +783,10 @@ def _q_dd_embedding_pairs(spark, sf_dir):
 
 def _q_geo_zorder_counts(spark, sf_dir):
     """S2-role Morton ids: pages per z-order parent cell (locality-
-    preserving sort keys; UDF-computed, hence rows-only)."""
+    preserving sort keys).  The ids are pure integer arithmetic, so
+    the DuckDB oracle re-derives the res-5 morton directly from
+    lon/lat (bit-interleave as generated +/*/% terms) — cross-checking
+    both the UDF's interleave and the parent-shift arithmetic."""
     from earth_data_kit_spark.functions.udfs import zorder_id_udf
     from earth_data_kit_spark.grid.cells import zorder_parent  # noqa: F401 (doc)
 
@@ -808,13 +848,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_trigram_jaccard": _q_dedup_trigram_jaccard,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_label_centroid": _q_sim_label_centroid_sim,
-        # rows-only (no oracle entry)
         "dd_minhash_pairs": _q_dd_minhash_pairs,
         "dd_simhash_pairs": _q_dd_simhash_pairs,
+        "geo_zorder_counts": _q_geo_zorder_counts,
         "sim_lsh_ann": _q_sim_lsh_ann,
         "mm_features": _q_mm_features,
         "dd_embedding_pairs": _q_dd_embedding_pairs,
-        "geo_zorder_counts": _q_geo_zorder_counts,
     }
 
 
@@ -1163,6 +1202,33 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE n_common / (sa.n + sb.n - n_common) >= 0.2
+""",
+        "geo_zorder_counts": f"""
+WITH pages AS ({pages}),
+xy AS (
+  SELECT {cell_x_sql("lon", 5)} AS x, {cell_y_sql("lat", 5)} AS y FROM pages
+)
+SELECT CAST({5 << 58} AS BIGINT) + {_morton_sql("x", "y", 6, 5)} AS zp,
+       count(*) AS n_pages
+FROM xy GROUP BY 1
+""",
+        "dd_simhash_pairs": f"""
+WITH sk AS (SELECT doc_id, simhash FROM read_parquet('{_SKETCHES_GOLDEN}'))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+        "dd_minhash_pairs": f"""
+WITH sk AS (SELECT doc_id, minhash_sig AS sig FROM read_parquet('{_SKETCHES_GOLDEN}'))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(({" + ".join(f"(CASE WHEN a.sig[{i}] = b.sig[{i}] THEN 1 ELSE 0 END)" for i in range(1, 65))}) / 64e0, 6) AS est_jaccard
+FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+WHERE ({" OR ".join(
+    "(" + " AND ".join(f"a.sig[{b * 4 + r}] = b.sig[{b * 4 + r}]" for r in range(1, 5)) + ")"
+    for b in range(16)
+)})
+  AND ({" + ".join(f"(CASE WHEN a.sig[{i}] = b.sig[{i}] THEN 1 ELSE 0 END)" for i in range(1, 65))}) / 64e0 >= 0.3
 """,
         "sim_cosine_topk": """
 WITH q AS (

@@ -137,5 +137,27 @@ pd.DataFrame(
     columns=["source_idx", "description", "dtype", "x_res", "y_res", "crs", "n_tiles", "tiles"],
 ).to_parquet(OUT / "band_groups.parquet", index=False)
 
+# 7. text sketches at sf0.01: per-doc simhash + minhash signature
+# from the single-node python oracle.  These feed the driver's
+# dd_simhash_pairs / dd_minhash_pairs DuckDB oracles: the sketch
+# *computation* is pinned here (and unit-tested), while the oracle
+# SQL re-derives the banded self-join + estimator arithmetic
+# independently — a differential test of the distributed LSH
+# machinery against a driver-side recompute.
+from earth_data_kit_spark.text import analysis  # noqa: E402
+
+docs01 = duckdb.connect().execute(
+    "SELECT doc_id, text FROM read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    " ORDER BY doc_id"
+).fetchall()
+sk = pd.DataFrame(
+    {
+        "doc_id": [d for d, _ in docs01],
+        "simhash": [analysis.simhash64(t or "") for _, t in docs01],
+        "minhash_sig": [analysis.minhash_signature(t or "", 64, 5) for _, t in docs01],
+    }
+)
+sk.to_parquet(OUT / "text_sketches_sf001.parquet", index=False)
+
 print("goldens written:", sorted(p.name for p in OUT.glob("*.parquet")))
 print("rows:", {p.name: len(pd.read_parquet(p)) for p in OUT.glob("*.parquet")})

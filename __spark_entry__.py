@@ -756,28 +756,81 @@ def _q_txt_quality(spark, sf_dir):
     )
 
 
+def _ann_variants(spark, emb):
+    """5 deterministic high-cosine variants per query vector (vec_id <
+    3): variant m negates the first m coordinates (cos ≈ 1−2·Σv²ₘ/|v|²
+    ∈ [0.76, 1.0) on this data — above the corpus's natural max of
+    ~0.37, so the true top-k is the variants).  Derivable in SQL, so
+    the DuckDB oracle builds the identical table."""
+    mdf = spark.createDataFrame(
+        [(q, m) for q in range(3) for m in range(1, 6)], "q bigint, m int"
+    )
+    return (
+        emb.where(F.col("vec_id") < 3)
+        .join(mdf, F.col("vec_id") == F.col("q"))
+        .select(
+            (F.lit(200000) + F.col("q") * 10 + F.col("m")).alias("vec_id"),
+            F.transform(
+                "embedding", lambda v, i: F.when(i < F.col("m"), -v).otherwise(v)
+            ).alias("embedding"),
+            "label",
+        )
+    )
+
+
 def _q_sim_lsh_ann(spark, sf_dir):
+    """Multi-table SRP-LSH ANN, verified EXACTLY: the corpus is
+    augmented with planted high-cosine variants of each query, the
+    oracle is brute-force top-k over the same table, and the LSH
+    params (P=8, L=12) give recall 1 on pairs this similar while
+    probing ~6% of the corpus (measured) — the gate fails if the
+    bucketed retrieval ever misses a true neighbor."""
     from earth_data_kit_spark.operators.similarity import cosine_topk_lsh
 
     emb = _read(spark, sf_dir, "embeddings")
+    corpus = emb.unionByName(_ann_variants(spark, emb))
     q = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    out = cosine_topk_lsh(emb, q, k=5)
-    return out.select(
-        "query_id",
-        F.col("rank").cast("bigint").alias("rank"),
-        "vec_id",
-        F.round("cosine", 6).alias("cosine"),
+    out = cosine_topk_lsh(corpus, q, k=6, n_planes=8, n_tables=12)
+    return _nonempty(
+        out.select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "vec_id",
+            F.round("cosine", 6).alias("cosine"),
+        ),
+        "sim_lsh_ann",
     )
 
 
 def _q_dd_embedding_pairs(spark, sf_dir):
+    """Embedding near-dup pairs at cosine ≥ 0.9 over corpus + planted
+    twins (vec_id%50==0, one coordinate negated → cos ≈ 0.94-0.99).
+    Multi-table SRP (P=8, L=12) has measured recall 1 at this
+    similarity, so the result equals the exact all-pairs filter the
+    DuckDB oracle computes."""
     from earth_data_kit_spark.operators.dedup import embedding_neardup_pairs
 
     emb = _read(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, sim_threshold=0.5, n_planes=8).select(
-        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    # flip index computed BEFORE the select: inside it, the lambda's
+    # vec_id would resolve to the +100000 alias (%64 of the wrong id)
+    twins = (
+        emb.where(F.col("vec_id") % 50 == 0)
+        .withColumn("flip", (F.col("vec_id") % 64).cast("int"))
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda v, i: F.when(i == F.col("flip"), -v).otherwise(v)
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    both = emb.unionByName(twins)
+    out = embedding_neardup_pairs(both, sim_threshold=0.9, n_planes=8, n_tables=12)
+    return _nonempty(
+        out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine")),
+        "dd_embedding_pairs",
     )
 
 
@@ -850,10 +903,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_label_centroid": _q_sim_label_centroid_sim,
         "dd_minhash_pairs": _q_dd_minhash_pairs,
         "dd_simhash_pairs": _q_dd_simhash_pairs,
+        "dd_embedding_pairs": _q_dd_embedding_pairs,
         "geo_zorder_counts": _q_geo_zorder_counts,
         "sim_lsh_ann": _q_sim_lsh_ann,
         "mm_features": _q_mm_features,
-        "dd_embedding_pairs": _q_dd_embedding_pairs,
     }
 
 
@@ -1248,6 +1301,55 @@ ranked AS (
 )
 SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(cos, 6) AS cosine
 FROM ranked WHERE rank <= 5
+""",
+        "sim_lsh_ann": """
+WITH variants AS (
+  SELECT 200000 + e.vec_id * 10 + m.m AS vec_id,
+         list_transform(e.embedding, (v, i) -> CASE WHEN i <= m.m THEN -v ELSE v END) AS embedding
+  FROM embeddings e CROSS JOIN (VALUES (1), (2), (3), (4), (5)) m(m)
+  WHERE e.vec_id < 3
+),
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id, embedding FROM variants
+),
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 3
+),
+c AS (
+  SELECT q.query_id, e.vec_id,
+    list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM corpus e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM c
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= 6
+""",
+        "dd_embedding_pairs": """
+WITH twins AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(embedding, (v, i) -> CASE WHEN i - 1 = vec_id % 64 THEN -v ELSE v END) AS embedding
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM twins
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_dot_product(a.emb, b.emb)
+      / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos, 6) AS cosine FROM pairs WHERE cos >= 0.9
 """,
         "sim_label_centroid": """
 WITH counts AS (

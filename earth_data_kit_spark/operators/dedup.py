@@ -201,16 +201,39 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     sim_threshold: float = 0.95,
     n_planes: int = 16,
+    n_tables: int = 1,
+    dim: int = 64,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
-    """Embedding-cosine near-dup: sign-random-projection LSH bucket →
-    exact cosine within bucket.  Output (id_a, id_b, cosine)."""
-    from earth_data_kit_spark.operators.similarity import cosine_col, srp_bucket_udf
+    """Embedding-cosine near-dup: sign-random-projection LSH buckets →
+    exact cosine within bucket.  Output (id_a, id_b, cosine).
+
+    ``n_tables`` > 1 uses L independent SRP tables (one fused matmul,
+    similarity.srp_multi_bucket_udf): pair recall at angle θ is
+    1-(1-p^P)^L with p = 1-θ/π — at cosine ≥ 0.9, P=8/L=12 gives
+    recall ≈ 1 while probing ~L buckets per vector, not the corpus.
+    ``max_bucket`` is the same degenerate-bucket B² guard as the text
+    dedup paths (a zero vector or constant embedding floods one
+    bucket per table)."""
+    from earth_data_kit_spark.operators.similarity import (
+        cosine_col,
+        srp_bucket_udf,
+        srp_multi_bucket_udf,
+    )
 
     emb = ensure_parallelism(emb)
-    bucketed = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        srp_bucket_udf(n_planes)(F.col(vec_col)).alias("bucket"),
-    )
+    if n_tables <= 1:
+        bucket = srp_bucket_udf(n_planes)(F.col(vec_col)).alias("bucket")
+        bucketed = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket)
+    else:
+        buckets = srp_multi_bucket_udf(n_planes, dim, n_tables)(F.col(vec_col))
+        bucketed = emb.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+            F.explode(buckets).alias("bucket"),
+        )
+    bucketed = bucketed.persist()
+    sizes = bucketed.groupBy("bucket").count().where(F.col("count") <= max_bucket)
+    bucketed = bucketed.join(F.broadcast(sizes.select("bucket")), "bucket")
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     return (
@@ -218,7 +241,10 @@ def embedding_neardup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine_col(F.col("a.v"), F.col("b.v")).alias("cosine"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
         )
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", cosine_col(F.col("va"), F.col("vb")).alias("cosine"))
         .where(F.col("cosine") >= sim_threshold)
     )

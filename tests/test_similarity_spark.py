@@ -67,6 +67,31 @@ def test_lsh_recall_reasonable(spark, emb, queries):
             assert r.vec_id == r.query_id
 
 
+def test_lsh_high_recall_at_retrieval_similarity(spark, emb):
+    """The quality bar for the scale path: at the similarity level ANN
+    is FOR (high-cosine retrieval — the corpus augmented with planted
+    variants of each query, cos ≈ 0.76-1.0), multi-table SRP with
+    P=8/L=12 must reach recall ≥ 0.9 of the exact top-k.  The natural
+    embeddings' nearest neighbors sit at cos ≈ 0.3 (≈72°) where any
+    sign-LSH degrades — that regime is covered by the ≥ 0.5 floor
+    test above and documented in SCALE.md."""
+    import __spark_entry__ as em
+
+    corpus = emb.unionByName(em._ann_variants(spark, emb)).cache()
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    k = 6
+    exp = oracle_topk(corpus.toPandas(), q.toPandas(), k)
+    got = sim.cosine_topk_lsh(corpus, q, k=k, n_planes=8, n_tables=12).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(by_q.get(qid, set()) & set(top)) for qid, top in exp.items())
+    tot = sum(len(top) for top in exp.values())
+    assert hits / tot >= 0.9, (hits, tot)
+
+
 def test_cosine_col_is_jvm_only(spark, emb, queries):
     df = sim.cosine_topk_bruteforce(emb, queries, k=5)
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -672,7 +672,9 @@ def _q_sim_label_centroid_sim(spark, sf_dir):
     )
 
 
-# --- rows-only queries (non-SQL-expressible; driver does weaker check) ---
+# --- sketch/LSH/multimodal queries: oracled via golden sketches,
+# --- planted-similarity exactness, or closed-form payload recompute
+# --- (every queries() entry now has an oracle_sql() twin) ---
 
 
 def _q_dd_minhash_pairs(spark, sf_dir):
@@ -855,12 +857,25 @@ def _q_geo_zorder_counts(spark, sf_dir):
 
 
 def _q_mm_features(spark, sf_dir):
+    """Multimodal feature extraction, oracle-checked END TO END: the
+    synthetic payloads are REAL bytes (binary PPM images, int16 PCM
+    audio, raw RGB video frames) whose content is closed-form
+    arithmetic, so the DuckDB oracle recomputes decode → resize/
+    window/frame-sample → pool from the formulas while Spark actually
+    parses the binary payloads in mapInPandas."""
     from earth_data_kit_spark.operators.multimodal import extract_features, synth_media_df
 
     media = synth_media_df(spark, 64)
     feats = extract_features(media, out_w=4, out_h=4)
-    return feats.select(
-        "media_id", "kind", F.round(F.aggregate("feat", F.lit(0.0), lambda a, v: a + v.cast("double")), 4).alias("feat_sum")
+    return _nonempty(
+        feats.select(
+            "media_id",
+            "kind",
+            F.size("feat").cast("bigint").alias("feat_len"),
+            F.round(F.aggregate("feat", F.lit(0.0), lambda a, v: a + v), 4).alias("feat_sum"),
+            F.round(F.col("feat")[0], 4).alias("feat0"),
+        ),
+        "mm_features",
     )
 
 
@@ -1301,6 +1316,59 @@ ranked AS (
 )
 SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(cos, 6) AS cosine
 FROM ranked WHERE rank <= 5
+""",
+        "mm_features": """
+WITH ids AS (
+  SELECT i AS media_id,
+         CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+  FROM range(64) t(i)
+),
+-- image: PPM pix(x,y,c) = (id*31 + y*17 + x*7 + c*5) % 256;
+-- 4x4 nearest resize of 32x24 samples at (8*ox, 6*oy); channel mean
+img_cell AS (
+  SELECT d.media_id, oy.oy, ox.ox,
+    CAST((d.media_id*31 + oy.oy*6*17 + ox.ox*8*7) % 256
+       + (d.media_id*31 + oy.oy*6*17 + ox.ox*8*7 + 5) % 256
+       + (d.media_id*31 + oy.oy*6*17 + ox.ox*8*7 + 10) % 256 AS DOUBLE) / 3e0 AS v
+  FROM ids d, range(4) oy(oy), range(4) ox(ox)
+  WHERE d.kind = 'image'
+),
+img AS (
+  SELECT media_id, 'image' AS kind, CAST(16 AS BIGINT) AS feat_len,
+         round(sum(v), 4) AS feat_sum,
+         round(min(CASE WHEN oy = 0 AND ox = 0 THEN v END), 4) AS feat0
+  FROM img_cell GROUP BY media_id
+),
+-- audio: PCM sample(i) = (id*13 + i*7) % 2003 - 1001; 4 windows of
+-- 120 samples; mean |amplitude| per window
+aud_s AS (
+  SELECT d.media_id, CAST(s.i // 120 AS INTEGER) AS w,
+         abs((d.media_id*13 + s.i*7) % 2003 - 1001) AS a
+  FROM ids d, range(480) s(i) WHERE d.kind = 'audio'
+),
+aud_w AS (SELECT media_id, w, CAST(sum(a) AS DOUBLE) / 120e0 AS v FROM aud_s GROUP BY 1, 2),
+aud AS (
+  SELECT media_id, 'audio' AS kind, CAST(4 AS BIGINT) AS feat_len,
+         round(sum(v), 4) AS feat_sum,
+         round(min(CASE WHEN w = 0 THEN v END), 4) AS feat0
+  FROM aud_w GROUP BY media_id
+),
+-- video: raw RGB frame pixel(f,x,y,c) = (id*11 + f*19 + y*17 + x*7
+-- + c*5) % 256; frames sampled every 2 (0,2,4); mean pixel per frame
+vid_px AS (
+  SELECT d.media_id, f.f,
+         (d.media_id*11 + f.f*19 + y.y*17 + x.x*7 + c.c*5) % 256 AS p
+  FROM ids d, (VALUES (0), (2), (4)) f(f), range(6) y(y), range(8) x(x), range(3) c(c)
+  WHERE d.kind = 'video'
+),
+vid_f AS (SELECT media_id, f, CAST(sum(p) AS DOUBLE) / 144e0 AS v FROM vid_px GROUP BY 1, 2),
+vid AS (
+  SELECT media_id, 'video' AS kind, CAST(3 AS BIGINT) AS feat_len,
+         round(sum(v), 4) AS feat_sum,
+         round(min(CASE WHEN f = 0 THEN v END), 4) AS feat0
+  FROM vid_f GROUP BY media_id
+)
+SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid
 """,
         "sim_lsh_ann": """
 WITH variants AS (

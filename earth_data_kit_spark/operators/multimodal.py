@@ -1,14 +1,20 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary +
-typed metadata, processed via Arrow-batched ``mapInPandas``.
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata, processed via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBS (clearly marked) behind a deterministic fake used by tests —
-but the Spark-side plumbing is real: schemas, batch shapes, partition
-sizing, and the UDF signatures are exactly what a production decoder
-drops into.  Reference analog: the blocked raster read pipeline
-(SURVEY.md §2.8 R1-R4, /root/reference/earth_data_kit/
-xarray_boosted/entrypoint.py:95-133) — binary blocks in, numpy
-batches out, nodata masking and scale/offset applied per batch.
+The decode step is REAL for container-friendly codecs — binary PPM
+(P6) images, raw little-endian int16 PCM audio, raw packed RGB video
+frames — all parsed with numpy only.  Compressed codecs (JPEG/PNG/
+Opus/H.264) need external libraries absent from this container; those
+paths raise a clearly-marked NotImplementedError behind the same
+``decode_image`` seam a production decoder drops into.
+
+Reference analog: the blocked raster read pipeline (SURVEY.md §2.8
+R1-R4, /root/reference/earth_data_kit/xarray_boosted/entrypoint.py:
+95-133) — binary blocks in, numpy batches out, per-batch masking and
+scaling.  The driver query ``mm_features`` is hash-verified against a
+DuckDB oracle that recomputes the features from the synthetic
+payloads' closed-form pixel/sample arithmetic — i.e. the whole
+decode → resize/window → pool pipeline is oracle-checked end to end.
 """
 
 from __future__ import annotations
@@ -18,7 +24,6 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
     "media_id bigint, kind string, payload binary, "
@@ -26,21 +31,67 @@ MEDIA_SCHEMA = (
 )
 
 FEATURE_SCHEMA = (
-    "media_id bigint, kind string, feat array<float>, "
+    "media_id bigint, kind string, feat array<double>, "
     "out_width int, out_height int"
 )
 
 
-def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB: real implementation decodes JPEG/PNG → HxWx3 uint8.
-    The deterministic fake derives pixels from the payload hash so
-    downstream math is testable without codecs."""
-    if payload is None:
-        raise NotImplementedError("image decode requires a codec (not in container)")
-    seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "big") & 0x7FFFFFFF
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+# ------------------------------------------------------------- codecs
 
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Binary PPM (P6): '<P6>\\n<w> <h>\\n255\\n' + packed RGB rows."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Parse binary PPM → (h, w, 3) uint8.  Real decode, numpy-only."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM payload")
+    # header: magic, dims, maxval — whitespace separated, then one
+    # whitespace byte before the raster
+    parts, idx = [], 2
+    while len(parts) < 3:
+        while payload[idx : idx + 1].isspace():
+            idx += 1
+        start = idx
+        while not payload[idx : idx + 1].isspace():
+            idx += 1
+        parts.append(int(payload[start:idx]))
+    idx += 1  # the single whitespace after maxval
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    return np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=idx).reshape(h, w, 3)
+
+
+def decode_image(payload: bytes, width: int | None = None, height: int | None = None) -> np.ndarray:
+    """Image decode seam.  PPM decodes for real; compressed codecs
+    need libraries this container lacks — STUB, clearly marked."""
+    if payload is None:
+        raise ValueError("null image payload")
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        "JPEG/PNG decode requires an image codec (not in this container); "
+        "plug a decoder into decode_image — the Spark-side plumbing is codec-agnostic"
+    )
+
+
+def decode_pcm16(payload: bytes) -> np.ndarray:
+    """Raw little-endian int16 PCM → int64 samples (real decode)."""
+    return np.frombuffer(payload, dtype="<i2").astype(np.int64)
+
+
+def decode_raw_video(payload: bytes, width: int, height: int, n_frames: int) -> np.ndarray:
+    """Raw packed RGB frames → (n_frames, h, w, 3) uint8 (real)."""
+    return np.frombuffer(payload, dtype=np.uint8, count=n_frames * height * width * 3).reshape(
+        n_frames, height, width, 3
+    )
+
+
+# ---------------------------------------------------------- transforms
 
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbor resize — the same index math as the
@@ -56,43 +107,104 @@ def sample_frames(n_frames: int, every: int) -> np.ndarray:
     return np.arange(0, n_frames, every, dtype=np.int64)
 
 
-def extract_features(
-    media: DataFrame, out_w: int = 8, out_h: int = 8
-) -> DataFrame:
-    """mapInPandas pipeline: decode → resize → mean-pool per channel →
-    flat float feature vector.  Arrow batch in/out; one numpy pass per
-    batch (no per-row Python beyond the decode call)."""
+def image_features(payload: bytes, out_w: int, out_h: int) -> list[float]:
+    """decode → nearest resize → channel-mean pool → out_h·out_w."""
+    small = resize_nearest(decode_image(payload), out_w, out_h)
+    return (small.astype(np.float64).sum(axis=2) / 3.0).ravel().tolist()
+
+def audio_features(payload: bytes, n_windows: int) -> list[float]:
+    """decode PCM → mean |amplitude| per equal window (n_windows)."""
+    s = np.abs(decode_pcm16(payload))
+    wlen = len(s) // n_windows
+    return [float(s[i * wlen : (i + 1) * wlen].sum() / wlen) for i in range(n_windows)]
+
+
+def video_features(payload: bytes, width: int, height: int, n_frames: int, every: int = 2) -> list[float]:
+    """decode frames → sample every-Nth → mean pixel per frame."""
+    frames = decode_raw_video(payload, width, height, n_frames)
+    idx = sample_frames(n_frames, every)
+    denom = float(height * width * 3)
+    return [float(frames[f].astype(np.float64).sum() / denom) for f in idx]
+
+
+def extract_features(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """mapInPandas pipeline: per-kind decode → resize/window/sample →
+    pooled float features.  Arrow batch in/out; payloads are MB-scale
+    blobs so the per-row loop iterates blocks, not points (same shape
+    as operators/blocks.py)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, ow, oh = [], [], []
+            feats = []
             for _, r in pdf.iterrows():
                 if r["kind"] == "image":
-                    img = decode_image(r["payload"], int(r["width"]), int(r["height"]))
-                    small = resize_nearest(img, out_w, out_h)
-                    feats.append(small.mean(axis=2).astype(np.float32).ravel().tolist())
+                    feats.append(image_features(r["payload"], out_w, out_h))
+                elif r["kind"] == "audio":
+                    feats.append(audio_features(r["payload"], out_w))
+                elif r["kind"] == "video":
+                    feats.append(
+                        video_features(
+                            r["payload"], int(r["width"]), int(r["height"]), int(r["n_frames"])
+                        )
+                    )
                 else:
-                    # audio/video feature kernels: NotImplemented in
-                    # this container; rows pass through with null feat
                     feats.append(None)
-                ow.append(out_w)
-                oh.append(out_h)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "feat": feats,
-                    "out_width": ow,
-                    "out_height": oh,
+                    "out_width": out_w,
+                    "out_height": out_h,
                 }
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+# ----------------------------------------------------------- synthesis
+
+IMG_W, IMG_H = 32, 24
+AUDIO_N, AUDIO_RATE = 480, 16000
+VID_W, VID_H, VID_FRAMES = 8, 6, 6
+
+
+def synth_image(media_id: int) -> bytes:
+    """pix(x, y, c) = (id·31 + y·17 + x·7 + c·5) % 256 — closed form,
+    mirrored by the mm_features DuckDB oracle."""
+    y, x, c = np.meshgrid(
+        np.arange(IMG_H), np.arange(IMG_W), np.arange(3), indexing="ij"
+    )
+    img = ((media_id * 31 + y * 17 + x * 7 + c * 5) % 256).astype(np.uint8)
+    return encode_ppm(img)
+
+
+def synth_audio(media_id: int) -> bytes:
+    """sample(i) = (id·13 + i·7) % 2003 − 1001, int16 LE PCM."""
+    i = np.arange(AUDIO_N)
+    return ((media_id * 13 + i * 7) % 2003 - 1001).astype("<i2").tobytes()
+
+
+def synth_video(media_id: int) -> bytes:
+    """frame pixel(f, x, y, c) = (id·11 + f·19 + y·17 + x·7 + c·5) % 256."""
+    f, y, x, c = np.meshgrid(
+        np.arange(VID_FRAMES), np.arange(VID_H), np.arange(VID_W), np.arange(3),
+        indexing="ij",
+    )
+    return ((media_id * 11 + f * 19 + y * 17 + x * 7 + c * 5) % 256).astype(np.uint8).tobytes()
+
+
 def synth_media_df(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for plumbing tests."""
-    rows = [
-        (i, "image", bytes([i % 256] * 16), 32, 24, None, None) for i in range(n)
-    ]
+    """Deterministic media table cycling image/audio/video by id%3 —
+    REAL payload bytes (PPM/PCM/raw RGB) whose content is closed-form
+    arithmetic, so features are SQL-recomputable."""
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        if kind == "image":
+            rows.append((i, kind, synth_image(i), IMG_W, IMG_H, None, None))
+        elif kind == "audio":
+            rows.append((i, kind, synth_audio(i), None, None, AUDIO_RATE, None))
+        else:
+            rows.append((i, kind, synth_video(i), VID_W, VID_H, None, VID_FRAMES))
     return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")

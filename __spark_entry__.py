@@ -342,6 +342,35 @@ def _q_geo_clip_window(spark, sf_dir):
     )
 
 
+def _q_geo_regrid_block_means(spark, sf_dir):
+    """Cross-tile halo-exchange regrid (512² → 384×256 bilinear) with
+    per-dst-block mean.  The synthetic raster is closed-form
+    ((x·31+y·17)%30000, no nodata) and the pixel-center mapping /
+    edge clamp / weight arithmetic is pure IEEE double math, so the
+    DuckDB oracle recomputes every dst pixel from the formula — the
+    whole decode→halo→interpolate pipeline is hash-gated."""
+    from earth_data_kit_spark.operators.blocks import (
+        regrid_bilinear_blocks,
+        synth_blocks_df,
+    )
+
+    bl = synth_blocks_df(
+        spark, 512, 512, 128, nodata=-1.0, scale=1.0, nodata_stripe=False
+    )
+    out = regrid_bilinear_blocks(bl, (512, 512), (384, 256), dst_block=128, out_dtype="float64")
+    mean = F.aggregate("values", F.lit(0.0), lambda a, v: a + v) / F.size("values")
+    return _nonempty(
+        out.select(
+            "band",
+            F.col("dst_bx").cast("bigint").alias("dst_bx"),
+            F.col("dst_by").cast("bigint").alias("dst_by"),
+            F.size("values").cast("bigint").alias("n_px"),
+            F.round(mean, 4).alias("mean_v"),
+        ),
+        "geo_regrid_block_means",
+    )
+
+
 def _q_geo_time_buckets(spark, sf_dir):
     from earth_data_kit_spark.operators.discover import bucket_temporally
 
@@ -892,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_radius_join": _q_geo_radius_join,
         "geo_tile_assign": _q_geo_tile_assign,
         "geo_clip_window": _q_geo_clip_window,
+        "geo_regrid_block_means": _q_geo_regrid_block_means,
         "geo_time_buckets": _q_geo_time_buckets,
         "geo_time_expand": _q_geo_time_expand,
         "geo_grid_expand": _q_geo_grid_expand,
@@ -1063,6 +1093,33 @@ SELECT band, xoff, yoff, xsize, ysize,
   round(uxmin + xoff * xres, 4) AS out_origin_x,
   round(uymax + yoff * yres, 4) AS out_origin_y
 FROM w
+""",
+        "geo_regrid_block_means": """
+WITH px AS (
+  SELECT dx.i AS dx, dy.i AS dy FROM range(384) dx(i), range(256) dy(i)
+),
+m AS (
+  SELECT dx, dy,
+    (dx + 5e-1) * (CAST(512 AS DOUBLE) / 384) - 5e-1 AS xs,
+    (dy + 5e-1) * (CAST(512 AS DOUBLE) / 256) - 5e-1 AS ys
+  FROM px
+),
+c AS (
+  SELECT dx, dy, xs, ys,
+    least(greatest(CAST(floor(xs) AS BIGINT), 0), 510) AS x0,
+    least(greatest(CAST(floor(ys) AS BIGINT), 0), 510) AS y0
+  FROM m
+),
+v AS (
+  SELECT dx // 128 AS dst_bx, dy // 128 AS dst_by,
+    (CAST((x0*31 + y0*17) % 30000 AS DOUBLE) * (1e0 - (ys - y0)) * (1e0 - (xs - x0))
+     + CAST(((x0+1)*31 + y0*17) % 30000 AS DOUBLE) * (1e0 - (ys - y0)) * (xs - x0)
+     + CAST((x0*31 + (y0+1)*17) % 30000 AS DOUBLE) * (ys - y0) * (1e0 - (xs - x0))
+     + CAST(((x0+1)*31 + (y0+1)*17) % 30000 AS DOUBLE) * (ys - y0) * (xs - x0)) AS val
+  FROM c
+)
+SELECT 'B1' AS band, dst_bx, dst_by, count(*) AS n_px, round(avg(val), 4) AS mean_v
+FROM v GROUP BY 2, 3
 """,
         "geo_time_buckets": """
 SELECT

@@ -51,11 +51,12 @@ def synth_blocks_df(
     nodata: float = 32767.0,
     scale: float = 1e-4,
     dtype: str = "int16",
+    nodata_stripe: bool = True,
 ) -> DataFrame:
     """Deterministic synthetic raster, value(x, y) = (x*31 + y*17) %
-    30000, with a nodata stripe at y % 97 == 0 — cut into blocks.
-    Built driver-side (small) then parallelized; a real ingest would
-    mapInPandas over tile paths."""
+    30000, with a nodata stripe at y % 97 == 0 (optional) — cut into
+    blocks.  Built driver-side (small) then parallelized; a real
+    ingest would mapInPandas over tile paths."""
     rows = []
     for by in range(0, raster_y, block):
         for bx in range(0, raster_x, block):
@@ -63,7 +64,8 @@ def synth_blocks_df(
             ys = min(block, raster_y - by)
             xg, yg = np.meshgrid(np.arange(bx, bx + xs), np.arange(by, by + ys))
             v = ((xg * 31 + yg * 17) % 30000).astype(np.int16)
-            v[yg % 97 == 0] = np.int16(int(nodata))
+            if nodata_stripe:
+                v[yg % 97 == 0] = np.int16(int(nodata))
             rows.append(
                 (
                     "synth", band, bx // block, by // block,
@@ -223,4 +225,122 @@ def regrid_bilinear(
     return blocks.groupBy("tile_name", "band").applyInPandas(
         per_group,
         schema="tile_name string, band string, dst_xsize int, dst_ysize int, values array<float>",
+    )
+
+
+def regrid_bilinear_blocks(
+    blocks: DataFrame,
+    src_size: tuple[int, int],
+    dst_size: tuple[int, int],
+    dst_block: int = 256,
+    out_dtype: str = "float32",
+) -> DataFrame:
+    """J4 at mosaic scale: cross-tile bilinear regrid via HALO
+    EXCHANGE (reference ``Dataset.combine``/grid-align semantics,
+    dataset.py:922-965) — the plan ``regrid_bilinear``'s docstring
+    promised:
+
+      1. each src block computes (pure Columns) the conservative
+         range of DST BLOCKS its pixels can contribute to under the
+         bilinear footprint, and explodes to one row per dst block —
+         the halo: border src blocks land in several dst groups;
+      2. ``groupBy(band, dst_bx, dst_by).applyInPandas`` assembles
+         only the needed src sub-window per group and interpolates
+         that dst block in numpy.
+
+    Group state is bounded by dst_block²·(scale factor) + halo —
+    independent of mosaic size, so a 10⁶×10⁶ mosaic regrids with the
+    same per-executor memory as one tile (unlike the per-tile
+    ``regrid_bilinear``, whose group is a whole tile).  Output: one
+    row per dst block with ``values`` (row-major).  The interpolation
+    math (pixel-center mapping, edge clamp to sw-2, weights from the
+    clipped index) matches regrid_bilinear exactly.
+
+    ``out_dtype='float64'`` keeps full precision (used by the
+    oracle-paired driver query); float32 is the raster-convention
+    default at scale."""
+    sw, sh = src_size
+    dw, dh = dst_size
+    sxf, syf = sw / dw, sh / dh
+    bpx = dst_block
+
+    def dst_px_range(off: F.Column, size: F.Column, scale: float, dst_n: int):
+        lo = F.greatest(F.lit(0), F.floor((off - 1.5) / scale - 0.5).cast("int"))
+        hi = F.least(
+            F.lit(dst_n - 1),
+            F.ceil((off + size + 1.5) / scale - 0.5).cast("int"),
+        )
+        return lo, hi
+
+    x_lo, x_hi = dst_px_range(F.col("xoff"), F.col("xsize"), sxf, dw)
+    y_lo, y_hi = dst_px_range(F.col("yoff"), F.col("ysize"), syf, dh)
+    exploded = (
+        blocks.withColumn(
+            "dst_bx",
+            F.explode(F.sequence((x_lo / bpx).cast("int"), (x_hi / bpx).cast("int"))),
+        )
+        .withColumn(
+            "dst_by",
+            F.explode(F.sequence((y_lo / bpx).cast("int"), (y_hi / bpx).cast("int"))),
+        )
+    )
+
+    np_dtype = np.float64 if out_dtype == "float64" else np.float32
+
+    def per_dst_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        band, bx, by = key
+        x0_px, x1_px = bx * bpx, min(dw, bx * bpx + bpx) - 1
+        y0_px, y1_px = by * bpx, min(dh, by * bpx + bpx) - 1
+        xs = (np.arange(x0_px, x1_px + 1) + 0.5) * sxf - 0.5
+        ys = (np.arange(y0_px, y1_px + 1) + 0.5) * syf - 0.5
+        xf = np.clip(np.floor(xs).astype(int), 0, sw - 2)
+        yf = np.clip(np.floor(ys).astype(int), 0, sh - 2)
+        sx_lo, sx_hi = int(xf.min()), int(xf.max()) + 1
+        sy_lo, sy_hi = int(yf.min()), int(yf.max()) + 1
+        local = np.full((sy_hi - sy_lo + 1, sx_hi - sx_lo + 1), np.nan, dtype=np.float64)
+        scale = pdf.iloc[0]["scale"]
+        offset = pdf.iloc[0]["offset"]
+        nod = pdf.iloc[0]["nodataval"]
+        for _, row in pdf.iterrows():
+            bx0, by0 = int(row["xoff"]), int(row["yoff"])
+            bw, bh = int(row["xsize"]), int(row["ysize"])
+            ix0, ix1 = max(bx0, sx_lo), min(bx0 + bw, sx_hi + 1)
+            iy0, iy1 = max(by0, sy_lo), min(by0 + bh, sy_hi + 1)
+            if ix0 >= ix1 or iy0 >= iy1:
+                continue  # halo slack — block not actually needed
+            arr = _decode(row).astype(np.float64)
+            if nod is not None and not np.isnan(nod):
+                arr = np.where(arr == nod, np.nan, arr)
+            local[iy0 - sy_lo : iy1 - sy_lo, ix0 - sx_lo : ix1 - sx_lo] = (
+                arr[iy0 - by0 : iy1 - by0, ix0 - bx0 : ix1 - bx0] * scale + offset
+            )
+        y0 = yf - sy_lo
+        x0 = xf - sx_lo
+        wy = (ys - yf)[:, None]
+        wx = (xs - xf)[None, :]
+        a = local[y0][:, x0]
+        b = local[y0][:, x0 + 1]
+        c = local[y0 + 1][:, x0]
+        d = local[y0 + 1][:, x0 + 1]
+        out = a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx + c * wy * (1 - wx) + d * wy * wx
+        return pd.DataFrame(
+            {
+                "band": [band],
+                "dst_bx": [int(bx)],
+                "dst_by": [int(by)],
+                "xoff": [x0_px],
+                "yoff": [y0_px],
+                "xsize": [x1_px - x0_px + 1],
+                "ysize": [y1_px - y0_px + 1],
+                "values": [out.astype(np_dtype).ravel().tolist()],
+            }
+        )
+
+    arr_type = "array<double>" if out_dtype == "float64" else "array<float>"
+    return exploded.groupBy("band", "dst_bx", "dst_by").applyInPandas(
+        per_dst_block,
+        schema=(
+            "band string, dst_bx int, dst_by int, xoff int, yoff int, "
+            f"xsize int, ysize int, values {arr_type}"
+        ),
     )

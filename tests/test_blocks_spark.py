@@ -90,3 +90,49 @@ def test_regrid_bilinear_matches_oracle(spark):
     assert (both_nan | np.isclose(got, exp, rtol=1e-6)).all()
     # NaN only where the nodata stripe contributes
     assert np.isnan(exp).any() and not np.isnan(exp).all()
+
+
+def _bilinear_oracle(full, sw, sh, dw, dh):
+    ys = (np.arange(dh) + 0.5) * (sh / dh) - 0.5
+    xs = (np.arange(dw) + 0.5) * (sw / dw) - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, sh - 2)
+    x0 = np.clip(np.floor(xs).astype(int), 0, sw - 2)
+    wy = (ys - y0)[:, None]
+    wx = (xs - x0)[None, :]
+    return (
+        full[y0][:, x0] * (1 - wy) * (1 - wx)
+        + full[y0][:, x0 + 1] * (1 - wy) * wx
+        + full[y0 + 1][:, x0] * wy * (1 - wx)
+        + full[y0 + 1][:, x0 + 1] * wy * wx
+    )
+
+
+@pytest.mark.parametrize("dst", [(96, 64), (256, 320)])  # down- and up-sample
+def test_regrid_halo_exchange_matches_oracle(spark, dst):
+    """Cross-tile regrid: the mosaic (4×4 blocks of 32, i.e. 16
+    'tiles') is regridded per DST block via halo exchange — no group
+    ever assembles the full raster.  Oracle: numpy bilinear over the
+    assembled source, NaN stripes included."""
+    sw = sh = 128
+    dw, dh = dst
+    bl = B.synth_blocks_df(spark, sw, sh, 32, nodata=-1.0, scale=1.0)
+    out = B.regrid_bilinear_blocks(bl, (sw, sh), (dw, dh), dst_block=48).collect()
+
+    got = np.full((dh, dw), np.nan, dtype=np.float64)
+    seen = set()
+    for r in out:
+        key = (r.dst_bx, r.dst_by)
+        assert key not in seen, "duplicate dst block"
+        seen.add(key)
+        a = np.array(r["values"], dtype=np.float32).reshape(r.ysize, r.xsize)
+        got[r.yoff : r.yoff + r.ysize, r.xoff : r.xoff + r.xsize] = a
+    # full dst coverage
+    assert len(seen) == -(-dw // 48) * -(-dh // 48)
+
+    xg, yg = np.meshgrid(np.arange(sw), np.arange(sh))
+    full = ((xg * 31 + yg * 17) % 30000).astype(np.float64)
+    full[yg % 97 == 0] = np.nan
+    exp = _bilinear_oracle(full, sw, sh, dw, dh)
+    both_nan = np.isnan(got) & np.isnan(exp)
+    assert (both_nan | np.isclose(got, exp, rtol=1e-6)).all()
+    assert np.isnan(exp).any() and not np.isnan(exp).all()

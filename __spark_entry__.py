@@ -371,6 +371,38 @@ def _q_geo_regrid_block_means(spark, sf_dir):
     )
 
 
+def _q_geo_cog_layout(spark, sf_dir):
+    """COG export template + block-write layout for the 2-tile MODIS
+    mosaic (2400×4800, 2 bands): chunk 2400 → block size 2432 (×128
+    ceil), geotransform recovered from pixel-center coordinates,
+    write blocks stepped by the chunk with edge clamping — the
+    reference's _create_template_cog/_write_data_to_cog numbers
+    (edk_accessor.py:35-111,131-183) as a DataFrame."""
+    from earth_data_kit_spark.operators.cog import cog_block_layout, cog_template
+
+    w, h, nb, chunk = 2400, 4800, 2, 2400
+    x_first = MODIS_X0 + 0.5 * MODIS_RES
+    x_last = MODIS_X0 + (w - 0.5) * MODIS_RES
+    y_first = MODIS_Y0 + 0.5 * MODIS_RES_Y
+    y_last = MODIS_Y0 + (h - 0.5) * MODIS_RES_Y
+    t = cog_template(w, h, nb, chunk, chunk, x_first, x_last, y_first, y_last)
+    gt = t["geotransform"]
+    layout = cog_block_layout(spark, w, h, nb, chunk, chunk)
+    return layout.select(
+        F.col("band_idx").cast("bigint").alias("band_idx"),
+        F.col("xoff").cast("bigint").alias("xoff"),
+        F.col("yoff").cast("bigint").alias("yoff"),
+        F.col("xsize").cast("bigint").alias("xsize"),
+        F.col("ysize").cast("bigint").alias("ysize"),
+        F.lit(t["block_x"]).cast("bigint").alias("block_x"),
+        F.lit(t["block_y"]).cast("bigint").alias("block_y"),
+        F.round(F.lit(gt[0]), 4).alias("origin_x"),
+        F.round(F.lit(gt[3]), 4).alias("origin_y"),
+        F.round(F.lit(gt[1]), 6).alias("x_res"),
+        F.round(F.lit(gt[5]), 6).alias("y_res"),
+    )
+
+
 def _q_geo_time_buckets(spark, sf_dir):
     from earth_data_kit_spark.operators.discover import bucket_temporally
 
@@ -922,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tile_assign": _q_geo_tile_assign,
         "geo_clip_window": _q_geo_clip_window,
         "geo_regrid_block_means": _q_geo_regrid_block_means,
+        "geo_cog_layout": _q_geo_cog_layout,
         "geo_time_buckets": _q_geo_time_buckets,
         "geo_time_expand": _q_geo_time_expand,
         "geo_grid_expand": _q_geo_grid_expand,
@@ -1120,6 +1153,35 @@ v AS (
 )
 SELECT 'B1' AS band, dst_bx, dst_by, count(*) AS n_px, round(avg(val), 4) AS mean_v
 FROM v GROUP BY 2, 3
+""",
+        "geo_cog_layout": f"""
+WITH consts AS (
+  SELECT
+    {_d(MODIS_X0)} + 5e-1 * {_d(MODIS_RES)} AS x_first,
+    {_d(MODIS_X0)} + (2400 - 5e-1) * {_d(MODIS_RES)} AS x_last,
+    {_d(MODIS_Y0)} + 5e-1 * {_d(MODIS_RES_Y)} AS y_first,
+    {_d(MODIS_Y0)} + (4800 - 5e-1) * {_d(MODIS_RES_Y)} AS y_last
+),
+gt AS (
+  SELECT (x_last - x_first) / (2400 - 1) AS x_res,
+         (y_last - y_first) / (4800 - 1) AS y_res,
+         x_first, y_first
+  FROM consts
+),
+layout AS (
+  SELECT b.b AS band_idx, 0 AS xoff, y.yoff,
+         least(2400, 2400 - 0) AS xsize,
+         least(2400, 4800 - y.yoff) AS ysize
+  FROM range(2) b(b), generate_series(0, 4799, 2400) y(yoff)
+)
+SELECT CAST(band_idx AS BIGINT) AS band_idx, CAST(xoff AS BIGINT) AS xoff,
+  CAST(yoff AS BIGINT) AS yoff, CAST(xsize AS BIGINT) AS xsize,
+  CAST(ysize AS BIGINT) AS ysize,
+  CAST(2432 AS BIGINT) AS block_x, CAST(2432 AS BIGINT) AS block_y,
+  round(x_first - x_res / 2, 4) AS origin_x,
+  round(y_first - y_res / 2, 4) AS origin_y,
+  round(x_res, 6) AS x_res, round(y_res, 6) AS y_res
+FROM layout CROSS JOIN gt
 """,
         "geo_time_buckets": """
 SELECT

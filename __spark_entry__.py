@@ -48,6 +48,30 @@ def _morton_sql(x: str, y: str, xbits: int, ybits: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _stac_oracle_sql() -> str:
+    """geo_stac_scan oracle: the synth_catalog items as VALUES, with
+    the same inclusive datetime range + bbox-intersect predicates the
+    pushdown applies."""
+    from earth_data_kit_spark.sources.stac import GRID_CELLS, SYNTH_DAYS
+
+    values = ", ".join(
+        f"('h{h}v{v}_{day}', TIMESTAMP '{day} 00:00:00', "
+        f"{xmin!r}, {ymin!r}, {xmax!r}, {ymax!r}, "
+        f"'https://example-catalog/modis/{h}/{v}/{day}/tile.tif')"
+        for day in SYNTH_DAYS
+        for h, v, xmin, ymin, xmax, ymax in GRID_CELLS
+    )
+    bx = ALBANIA_BBOX
+    return f"""
+WITH items(tile_name, dt, xmin, ymin, xmax, ymax, href) AS (VALUES {values})
+SELECT strftime(dt, '%Y-%m-%d') AS day, tile_name,
+       href AS engine_path, concat('/vsicurl/', href) AS gdal_path
+FROM items
+WHERE dt >= TIMESTAMP '2017-01-01 00:00:00' AND dt <= TIMESTAMP '2017-01-02 00:00:00'
+  AND xmin <= {bx[2]!r} AND xmax >= {bx[0]!r} AND ymin <= {bx[3]!r} AND ymax >= {bx[1]!r}
+"""
+
+
 def _langid_marker_values() -> str:
     """(lang, word) VALUES rows from the one marker table all three
     langid implementations share (analysis._LANG_MARKERS)."""
@@ -448,6 +472,32 @@ def _q_geo_grid_expand(spark, sf_dir):
     out = expand_space(patterns, grid, ALBANIA_BBOX, ["h", "v"])
     return out.select(
         F.date_format("date", "yyyy-MM-dd").alias("day"), "h", "v", "search_path"
+    )
+
+
+def _q_geo_stac_scan(spark, sf_dir):
+    """STAC-style scan analog (S6/S7): datetime range + bbox pushed
+    into the catalog walk before any listing, reference stac.py:18-91
+    row shape.  Oracle: the same 15-item fixture as a VALUES table
+    with the identical inclusive-range + bbox-intersect predicates."""
+    from earth_data_kit_spark.sources import stac
+
+    out = stac.scan(
+        spark,
+        "https://example-catalog/collections/modis-grid",
+        stac.synth_catalog(),
+        start="2017-01-01T00:00:00Z",
+        end="2017-01-02T00:00:00Z",
+        bbox=ALBANIA_BBOX,
+    )
+    return _nonempty(
+        out.select(
+            F.date_format("date", "yyyy-MM-dd").alias("day"),
+            "tile_name",
+            "engine_path",
+            "gdal_path",
+        ),
+        "geo_stac_scan",
     )
 
 
@@ -958,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_time_buckets": _q_geo_time_buckets,
         "geo_time_expand": _q_geo_time_expand,
         "geo_grid_expand": _q_geo_grid_expand,
+        "geo_stac_scan": _q_geo_stac_scan,
         # relational core
         "rel_sessions": _q_rel_sessions,
         "rel_stats": _q_rel_stats,
@@ -1211,6 +1262,7 @@ FROM days CROSS JOIN grid
 WHERE minx <= {ALBANIA_BBOX[2]!r} AND maxx >= {ALBANIA_BBOX[0]!r}
   AND miny <= {ALBANIA_BBOX[3]!r} AND maxy >= {ALBANIA_BBOX[1]!r}
 """,
+        "geo_stac_scan": _stac_oracle_sql(),
         "rel_sessions": """
 WITH g AS (
   SELECT user_id, event_id, ts,

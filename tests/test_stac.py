@@ -1,0 +1,85 @@
+"""STAC-analog pushdown scan (S6/S7): filters prune items in the
+catalog walk, the DataFrame mirror applies identical predicates, and
+on a parquet catalog mirror those predicates reach PushedFilters."""
+
+import json
+
+import pytest
+
+from earth_data_kit_spark.sources import stac
+
+BBOX_AL = (19.3044861183, 39.624997667, 21.0200403175, 42.6882473822)
+RANGE = ("2017-01-01T00:00:00Z", "2017-01-02T00:00:00Z")
+
+
+def test_parse_stac_url():
+    assert stac.parse_stac_url("https://c.com/collections/modis/") == ("https://c.com", "modis")
+    assert stac.parse_stac_url("https://c.com/collections/modis/items") == ("https://c.com", "modis")
+    assert stac.parse_stac_url("https://c.com") == ("https://c.com", None)
+
+
+def test_scan_requires_collection(spark):
+    with pytest.raises(ValueError, match="Collection name is required"):
+        stac.scan(spark, "https://c.com", stac.synth_catalog())
+
+
+def test_pushdown_prunes_before_listing():
+    kept, total = stac.search_items(
+        stac.synth_catalog(), "modis-grid", start=RANGE[0], end=RANGE[1], bbox=BBOX_AL
+    )
+    assert total == 15
+    assert len(kept) == 4  # 2 intersecting grid cells × 2 days
+    assert {i["id"] for i in kept} == {
+        "h19v04_2017-01-01", "h19v05_2017-01-01",
+        "h19v04_2017-01-02", "h19v05_2017-01-02",
+    }
+
+
+def test_scan_matches_unfiltered_then_filtered(spark):
+    """Row parity: the pushdown path == scan-everything-then-filter
+    (the correctness contract for any pushdown)."""
+    cat = stac.synth_catalog()
+    pushed = {
+        (r.tile_name, r.date, r.engine_path, r.gdal_path)
+        for r in stac.scan(
+            spark, "x/collections/modis-grid", cat,
+            start=RANGE[0], end=RANGE[1], bbox=BBOX_AL,
+        ).collect()
+    }
+    items = stac.items_df(spark, cat, "modis-grid")
+    late = {
+        (r.tile_name, r.date, r.href, "/vsicurl/" + r.href)
+        for r in stac.filter_items_df(items, RANGE[0], RANGE[1], BBOX_AL).collect()
+    }
+    assert pushed == late and len(pushed) == 4
+
+
+def test_catalog_file_roundtrip(spark, tmp_path):
+    p = tmp_path / "catalog.json"
+    p.write_text(json.dumps(stac.synth_catalog()))
+    out = stac.scan(
+        spark, "x/collections/modis-grid", str(p), start=RANGE[0], end=RANGE[1], bbox=BBOX_AL
+    )
+    assert out.count() == 4
+
+
+def test_parquet_catalog_mirror_pushes_filters(spark, tmp_path):
+    """At scale the catalog is data: the same predicates must reach
+    the parquet scan (PushedFilters), so Spark prunes row groups
+    instead of reading the whole catalog."""
+    items = stac.items_df(spark, stac.synth_catalog(), "modis-grid")
+    path = str(tmp_path / "catalog_items")
+    items.write.parquet(path)
+    mirrored = stac.filter_items_df(
+        spark.read.parquet(path), RANGE[0], RANGE[1], BBOX_AL
+    )
+    old = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")  # untruncate PushedFilters
+    try:
+        plan = mirrored._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(date" in plan
+    assert "LessThanOrEqual(xmin" in plan
+    assert mirrored.count() == 4

@@ -122,7 +122,11 @@ def main() -> None:
         .count(),
     )
 
-    # q3: kNN — 16 query points, fixed ring (dense data at this sf)
+    # q3: kNN — 16 query points, fixed ring (dense data at this sf).
+    # Scans the ×16 self-union like pip_join: the per-query candidate
+    # work is tiny, so without the scan multiplier the job is a ~2 s
+    # fixed-cost stub whose "scaling" measures scheduler overhead,
+    # not the operator (the round-1 0.55-0.73 knn efficiency).
     knn_queries = [(i, 41.33 + i * 0.01, 19.82 + i * 0.01) for i in range(8)] + [
         (100, 51.0, 10.5), (101, 21.0, 78.5), (102, -10.0, -52.0), (103, 39.5, -98.5),
         (104, 36.0, 138.0), (105, -25.0, 134.0), (106, 40.0, -3.5), (107, 54.0, -2.0),
@@ -130,7 +134,7 @@ def main() -> None:
     timed(
         "knn",
         lambda: knn_join(
-            pages, knn_queries, k=10, res=9, ring=2, id_col="page_id"
+            pages_big, knn_queries, k=10, res=9, ring=2, id_col="page_id"
         ).collect(),
     )
 
@@ -179,6 +183,44 @@ def main() -> None:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     timed("cosine_topk", lambda: cosine_topk_bruteforce(emb, q, k=10).collect())
+
+    # q10: hot-key salted aggregation — the dense Tirana cell holds
+    # ~20% of all pages; salted_hot_keys splits it across 32 shuffle
+    # keys, partials merge by true cell (the two-level skew pattern)
+    def _salted_agg():
+        df = pages_big.withColumn(
+            "cell", cell_id_col(F.col("lon"), F.col("lat"), entrymod.CELL_RES)
+        )
+        salted, _ = sj.salted_hot_keys(
+            df, "cell", hot_threshold=100_000, salt_buckets=32, salt_cols=["page_id"]
+        )
+        partial = salted.groupBy("cell", "salted_key").agg(
+            F.count("*").alias("n"), F.sum("doc_id").alias("s")
+        )
+        return (
+            partial.groupBy("cell")
+            .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+            .count()
+        )
+
+    timed("hot_cell_salted", _salted_agg)
+
+    # q11: cross-tile halo-exchange regrid (2048² int16 mosaic of 256-
+    # blocks → 1536×1024, 64 dst-block groups)
+    from earth_data_kit_spark.operators.blocks import (
+        regrid_bilinear_blocks,
+        synth_blocks_df,
+    )
+
+    regrid_src = synth_blocks_df(spark, 2048, 2048, 256, scale=1.0).persist()
+    regrid_src.count()
+    timed(
+        "regrid_halo",
+        lambda: regrid_bilinear_blocks(
+            regrid_src, (2048, 2048), (1536, 1024), dst_block=192
+        ).count(),
+    )
+    regrid_src.unpersist()
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -156,37 +156,31 @@ def knn_join(
     return _topk(scored, k, id_col)
 
 
-def _topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
-    """Top-k per query with map-side pruning.
+def _topk(scored: DataFrame, k: int, id_col: str, prune_buckets: int = 64) -> DataFrame:
+    """Top-k per query as a two-level window — entirely JVM-side.
 
-    A bare `row_number() over (partition by query_id)` shuffles EVERY
-    candidate into ≤|queries| partitions — a parallelism ceiling and
-    a skew trap (dense-cell queries).  Prune first: each input
-    partition keeps its local k smallest per query (Arrow batch
-    nsmallest), so the window shuffle carries ≤ k·partitions rows per
-    query — the partial/final pattern applied to ranking.
+    A bare ``row_number() over (partition by query_id)`` shuffles
+    EVERY candidate into ≤|queries| partitions — a parallelism
+    ceiling and a skew trap (dense-cell queries).  Level 1 windows
+    over (query_id, pmod(xxhash64(id), B)): the shuffle spreads each
+    query's candidates across B uniform buckets (no skew, B·|queries|
+    parallelism) and keeps k per bucket; level 2 ranks the ≤ k·B
+    survivors per query — the partial/final pattern applied to
+    ranking.  Both stages are codegen'd window sorts; the earlier
+    Arrow ``mapInPandas`` prune did the same reduction at Python
+    speed and was ~15× slower on dense candidates (BENCH r2).
     """
-    import pandas as pd
-
-    def local_prune(batches):
-        for pdf in batches:
-            if len(pdf):
-                pdf = (
-                    pdf.sort_values(["query_id", "dist_m", id_col])
-                    .groupby("query_id", sort=False)
-                    .head(k)
-                )
-            yield pdf
-
-    # splice the actual id dtype — hardcoding bigint breaks Arrow for
-    # string/int ids even though id_col is a public API parameter
-    id_type = scored.schema[id_col].dataType.simpleString()
-    pruned = scored.mapInPandas(
-        local_prune, schema=f"query_id bigint, {id_col} {id_type}, dist_m double"
+    order = [F.col("dist_m").asc(), F.col(id_col).asc()]
+    w1 = Window.partitionBy("query_id", "pbkt").orderBy(*order)
+    pruned = (
+        scored.withColumn("pbkt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(prune_buckets)))
+        .withColumn("prn", F.row_number().over(w1))
+        .where(F.col("prn") <= k)
+        .drop("pbkt", "prn")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col(id_col).asc())
+    w2 = Window.partitionBy("query_id").orderBy(*order)
     return (
-        pruned.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "dist_m")
     )

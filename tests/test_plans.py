@@ -65,6 +65,12 @@ def test_knn_candidate_join_is_broadcast(spark):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # the whole kNN pipeline — cell index, ring join, haversine,
+    # two-level top-k — is JVM-only (the old Arrow prune was the
+    # bench bottleneck on dense candidates)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # two-level prune: two window sorts partitioned by query
+    assert plan.count("Window") >= 2
 
 
 def test_cell_expr_is_codegen_only(spark):

@@ -632,6 +632,89 @@ def _q_rel_q6_forecast(spark, sf_dir):
     )
 
 
+def _q_rel_q4_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): correlated EXISTS
+    with an inter-table inequality, adapted to the testdata schema
+    (l_shipdate > o_orderdate + 10 days stands in for the commit/
+    receipt comparison)."""
+    o = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = _read(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 10 DAY")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def _q_rel_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    top 20 (join × filter × agg × ordered limit)."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def _q_rel_q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share — conditional aggregate
+    over a part join (p_type = 'PROMO' in the testdata's type enum)."""
+    p = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev) * 100.0,
+                6,
+            ).alias("promo_share_pct"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def _q_rel_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume orders — HAVING over a grouped
+    sum, re-joined to orders/customer, ordered limit."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 190)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("l_orderkey").asc())
+        .limit(50)
+    )
+
+
 def _q_rel_top_customers_window(spark, sf_dir):
     c = _read(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
@@ -1017,6 +1100,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q3_shipping_priority": _q_rel_q3_shipping_priority,
         "rel_q5_supplier_volume": _q_rel_q5_supplier_volume,
         "rel_q6_forecast": _q_rel_q6_forecast,
+        "rel_q4_priority_exists": _q_rel_q4_priority_exists,
+        "rel_q10_returned_items": _q_rel_q10_returned_items,
+        "rel_q14_promo_share": _q_rel_q14_promo_share,
+        "rel_q18_large_orders": _q_rel_q18_large_orders,
         "rel_top_customers_window": _q_rel_top_customers_window,
         "rel_anti_join": _q_rel_anti_join,
         "rel_semi_join": _q_rel_semi_join,
@@ -1341,6 +1428,53 @@ FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
   AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+""",
+        "rel_q4_priority_exists": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 10 DAY
+  )
+GROUP BY o_orderpriority
+""",
+        "rel_q10_returned_items": """
+SELECT c_custkey, c_name,
+  round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+        "rel_q14_promo_share": """
+SELECT
+  round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) AS DOUBLE)
+        / CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) * 1e2, 6) AS promo_share_pct,
+  count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+""",
+        "rel_q18_large_orders": """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 190
+)
+SELECT c_custkey, c_name, l_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+  round(o_totalprice, 2) AS o_totalprice,
+  round(CAST(total_qty AS DOUBLE), 2) AS total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, l_orderkey ASC
+LIMIT 50
 """,
         "rel_top_customers_window": """
 SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, CAST(rnk AS BIGINT) AS rnk,

@@ -501,6 +501,43 @@ def _q_geo_stac_scan(spark, sf_dir):
     )
 
 
+def _q_geo_date_extract(spark, sf_dir):
+    """S5 date re-extraction as a gated query: parse %Y%j back out of
+    listed keys via the template→regex compiler and recompose the
+    date with the day-of-year arithmetic (the reference's trickiest
+    strftime path, s3.py:324-373).  Oracle recomputes the date
+    directly from the series index."""
+    from earth_data_kit_spark.operators.discover import extract_dates
+
+    listing = spark.range(1, 61).select(
+        F.concat(
+            F.lit("s3://b/2017"),
+            F.lpad(F.col("id").cast("string"), 3, "0"),
+            F.lit("/scene.tif"),
+        ).alias("path")
+    )
+    out = extract_dates(listing, "s3://b/%Y%j/scene.tif")
+    return out.select("path", F.date_format("date", "yyyy-MM-dd").alias("day"))
+
+
+def _q_rel_sliding_windows(spark, sf_dir):
+    """Sliding-window aggregation (2 h window, 1 h slide): every event
+    lands in exactly two epoch-aligned windows — the F.window
+    semantics the streaming twin shares; oracle derives both window
+    starts per event arithmetically."""
+    ev = _read(spark, sf_dir, "events")
+    w = F.window("ts", "2 hours", "1 hour")
+    return (
+        ev.groupBy(w)
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("ws"),
+            "n",
+            "total_value",
+        )
+    )
+
+
 def _q_rel_sessions(spark, sf_dir):
     """Sessionization: 30-min-gap sessions per user via lag +
     gap-flag running sum (the window composition Spark lacks a
@@ -1092,6 +1129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_time_expand": _q_geo_time_expand,
         "geo_grid_expand": _q_geo_grid_expand,
         "geo_stac_scan": _q_geo_stac_scan,
+        "geo_date_extract": _q_geo_date_extract,
+        "rel_sliding_windows": _q_rel_sliding_windows,
         # relational core
         "rel_sessions": _q_rel_sessions,
         "rel_stats": _q_rel_stats,
@@ -1350,6 +1389,22 @@ WHERE minx <= {ALBANIA_BBOX[2]!r} AND maxx >= {ALBANIA_BBOX[0]!r}
   AND miny <= {ALBANIA_BBOX[3]!r} AND maxy >= {ALBANIA_BBOX[1]!r}
 """,
         "geo_stac_scan": _stac_oracle_sql(),
+        "geo_date_extract": """
+SELECT concat('s3://b/2017', lpad(CAST(i AS VARCHAR), 3, '0'), '/scene.tif') AS path,
+       strftime(DATE '2017-01-01' + (CAST(i - 1 AS BIGINT) * INTERVAL 1 DAY), '%Y-%m-%d') AS day
+FROM range(1, 61) t(i)
+""",
+        "rel_sliding_windows": """
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, value FROM events
+),
+x AS (
+  SELECT (t // 3600 - k.k) * 3600 AS ws, value
+  FROM e, (VALUES (0), (1)) k(k)
+)
+SELECT ws, count(*) AS n, round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+FROM x GROUP BY 1
+""",
         "rel_sessions": """
 WITH g AS (
   SELECT user_id, event_id, ts,

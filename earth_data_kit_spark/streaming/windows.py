@@ -124,3 +124,32 @@ def tumbling_agg_stream(
         .queryName(query_name)
         .start()
     )
+
+
+def tumbling_agg_stream_append(
+    spark: SparkSession,
+    parquet_dir: str,
+    schema: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    query_name: str = "events_windowed_append",
+):
+    """Append-mode twin: a window row is emitted exactly once, after
+    the watermark passes its end, and events arriving LATER than the
+    watermark are dropped — the late-data semantics complete mode
+    can't show (its state never finalizes).  This is the form a
+    100 TB ingest would run: bounded state, one immutable row per
+    finalized window."""
+    stream = spark.readStream.schema(schema).parquet(parquet_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("bucket"), "n", "total_value")
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

@@ -55,6 +55,63 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
         q.stop()
 
 
+def test_watermark_drops_late_events_append_mode(spark, tmp_path):
+    """Append-mode tumbling windows: a window emits once when the
+    watermark passes its end, and an event arriving after the
+    watermark (targeting an already-finalized window) is DROPPED —
+    the bounded-state late-data contract of the streaming ingest."""
+    import pandas as pd
+
+    stream_dir = tmp_path / "late_events"
+    stream_dir.mkdir()
+
+    def write_batch(name, rows):
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).astype({"ts": "datetime64[us]"}).to_parquet(stream_dir / name)
+
+    t = pd.Timestamp("2017-01-01 00:00:00")
+    h = pd.Timedelta("1 hour")
+    write_batch(
+        "b1.parquet",
+        [
+            (1, t + pd.Timedelta("10 min"), 1, "click", 1.0, ""),
+            (2, t + pd.Timedelta("20 min"), 1, "click", 1.0, ""),
+            (3, t + h + pd.Timedelta("10 min"), 1, "click", 1.0, ""),
+            (4, t + 3 * h + pd.Timedelta("30 min"), 1, "click", 1.0, ""),
+        ],
+    )
+    q = windows.tumbling_agg_stream_append(
+        spark, str(stream_dir), EVENTS_SCHEMA, window="1 hour", watermark="1 hour",
+        query_name="late_append",
+    )
+    try:
+        q.processAllAvailable()
+        # a LATE event into the already-finalized [00:00, 01:00) window
+        # plus a fresh event that advances the watermark past 04:00
+        write_batch(
+            "b2.parquet",
+            [
+                (5, t + pd.Timedelta("40 min"), 1, "click", 100.0, ""),
+                (6, t + 6 * h, 1, "click", 1.0, ""),
+            ],
+        )
+        q.processAllAvailable()
+        write_batch("b3.parquet", [(7, t + 6 * h + pd.Timedelta("5 min"), 1, "click", 1.0, "")])
+        q.processAllAvailable()
+        got = {
+            r.bucket: (r.n, r.total_value)
+            for r in spark.sql("SELECT * FROM late_append").collect()
+        }
+        # the 00:00 window emitted ONCE with the on-time events only —
+        # the late event (value 100) was dropped
+        assert got[t.to_pydatetime()] == (2, 2.0)
+        assert got[(t + h).to_pydatetime()] == (1, 1.0)
+        assert got[(t + 3 * h).to_pydatetime()] == (1, 1.0)
+    finally:
+        q.stop()
+
+
 def test_multimodal_features_all_kinds(spark):
     media = mm.synth_media_df(spark, 33)
     feats = mm.extract_features(media, out_w=4, out_h=4).collect()

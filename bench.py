@@ -127,7 +127,12 @@ def main() -> None:
     # work is tiny, so without the scan multiplier the job is a ~2 s
     # fixed-cost stub whose "scaling" measures scheduler overhead,
     # not the operator (the round-1 0.55-0.73 knn efficiency).
-    knn_queries = [(i, 41.33 + i * 0.01, 19.82 + i * 0.01) for i in range(8)] + [
+    # 2 dense-cell queries (each pulls the whole 20%-hot Tirana cell
+    # as candidates — the skew path) + 8 sparse.  More dense queries
+    # multiply candidate volume linearly and only re-measure the same
+    # window shuffle: 8 of them made the 2-core scaling leg ~500M
+    # window rows (~20 min) for no extra signal.
+    knn_queries = [(0, 41.33, 19.82), (1, 41.34, 19.83)] + [
         (100, 51.0, 10.5), (101, 21.0, 78.5), (102, -10.0, -52.0), (103, 39.5, -98.5),
         (104, 36.0, 138.0), (105, -25.0, 134.0), (106, 40.0, -3.5), (107, 54.0, -2.0),
     ]

@@ -109,7 +109,7 @@ def scan(
     rows = [
         (
             it["assets"]["data"]["href"],
-            "/vsicurl/" + it["assets"]["data"]["href"],
+            to_vsi(it["assets"]["data"]["href"]),
             it["id"],
             _parse_dt(it["datetime"]).replace(tzinfo=None),
         )
@@ -139,6 +139,48 @@ def items_df(spark: SparkSession, catalog: str | dict, collection: str) -> DataF
         "tile_name string, date timestamp, xmin double, ymin double, "
         "xmax double, ymax double, href string",
     )
+
+
+def stac_transform_to_gdal(t: list[float]) -> tuple[float, ...]:
+    """STAC proj:transform → GDAL geotransform (reference
+    stac_asset.py:68-86): STAC row-major affine [a, b, x, d, e, y]
+    (9-value homogeneous forms truncate to 6) reorders to GDAL
+    (x, a, b, y, d, e)."""
+    if len(t) == 9:
+        t = t[:6]
+    x_res, x_rot, x_ul, y_rot, y_res, y_ul = tuple(t)
+    return (x_ul, x_res, x_rot, y_ul, y_rot, y_res)
+
+
+ALLOWED_MEDIA_TYPES = ("image/jp2", "image/tiff")
+
+
+def is_asset_allowed(roles, media_type: str | None) -> bool:
+    """P6 asset admission predicate (stac_asset.py:121-130): the
+    asset must carry roles and an allowed raster media type."""
+    if roles is None:
+        return False
+    if media_type is None:
+        return False
+    return any(media_type.startswith(a) for a in ALLOWED_MEDIA_TYPES)
+
+
+def to_vsi(url: str) -> str:
+    """Engine path → GDAL virtual-filesystem path (stac_asset.py
+    to_vsi): s3:// → /vsis3/, https:// → /vsicurl/."""
+    if url.startswith("s3://"):
+        return url.replace("s3://", "/vsis3/", 1)
+    if url.startswith("https://"):
+        return f"/vsicurl/{url}"
+    raise ValueError(f"Unknown protocol in asset href: {url}")
+
+
+def subdataset_varname(subdataset_path: str) -> str:
+    """NetCDF subdataset id 'FORMAT:path:varname' → varname, stamped
+    into the (single) band's description (reference netcdf.py:73-87
+    subdataset expansion semantics; the explode itself is
+    operators/assign.explode_bands)."""
+    return subdataset_path.split(":")[2]
 
 
 GRID_CELLS = [

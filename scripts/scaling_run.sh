@@ -43,7 +43,7 @@ run_level () {  # cores [runs]
     SPARK_GRAFT_BENCH_RUNS=$runs python bench.py 2>/dev/null | tail -1
 }
 
-J2=$(run_level 2 3);  J8=$(run_level 8 3)
+J2=$(run_level 2 2);  J8=$(run_level 8 2)
 J32=$(run_level 32 2)
 
 python3 - "$J2" "$J8" "$J32" "$SF_DIR" "$REPS" "$CAL" <<'EOF'

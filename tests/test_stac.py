@@ -18,6 +18,31 @@ def test_parse_stac_url():
     assert stac.parse_stac_url("https://c.com") == ("https://c.com", None)
 
 
+def test_stac_transform_to_gdal_reorders_and_truncates():
+    # STAC [a, b, x, d, e, y] → GDAL (x, a, b, y, d, e); 9-value
+    # homogeneous transforms truncate to 6 (stac_asset.py:68-86)
+    t = [10.0, 0.0, 500.0, 0.0, -10.0, 700.0]
+    assert stac.stac_transform_to_gdal(t) == (500.0, 10.0, 0.0, 700.0, 0.0, -10.0)
+    assert stac.stac_transform_to_gdal(t + [0.0, 0.0, 1.0]) == (
+        500.0, 10.0, 0.0, 700.0, 0.0, -10.0
+    )
+
+
+def test_asset_admission_and_vsi():
+    assert stac.is_asset_allowed(["data"], "image/tiff; application=geotiff")
+    assert stac.is_asset_allowed(["data"], "image/jp2")
+    assert not stac.is_asset_allowed(None, "image/tiff")
+    assert not stac.is_asset_allowed(["data"], "application/json")
+    assert not stac.is_asset_allowed(["data"], None)
+    assert stac.to_vsi("s3://bucket/k.tif") == "/vsis3/bucket/k.tif"
+    assert stac.to_vsi("https://h/k.tif") == "/vsicurl/https://h/k.tif"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stac.to_vsi("ftp://h/k.tif")
+    assert stac.subdataset_varname('NETCDF:"/p/f.nc":t2m') == "t2m"
+
+
 def test_scan_requires_collection(spark):
     with pytest.raises(ValueError, match="Collection name is required"):
         stac.scan(spark, "https://c.com", stac.synth_catalog())

@@ -1,0 +1,101 @@
+"""Dataset façade: the reference's user workflow (construct → bounds
+→ discover → get_bands → mosaic → clip → save) end to end against
+the golden MODIS numbers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+from earth_data_kit_spark.api import Dataset
+from earth_data_kit_spark.grid import transform
+from earth_data_kit_spark.sources import stac
+from earth_data_kit_spark.sources.catalog import Catalog
+
+ALBANIA = em.ALBANIA_BBOX
+
+
+@pytest.fixture()
+def grid(spark):
+    return spark.createDataFrame(
+        [
+            ("19", "04", 11.54, 39.99, 26.08, 50.0),
+            ("19", "05", 10.0, 29.99, 22.5, 40.0),
+            ("20", "04", 26.0, 39.99, 43.0, 50.0),
+            ("18", "04", -3.0, 39.99, 11.53, 50.0),
+            ("10", "10", -100.0, -20.0, -90.0, -10.0),
+        ],
+        "h string, v string, minx double, miny double, maxx double, maxy double",
+    )
+
+
+def test_dataset_discover_s3_template(spark, grid):
+    ds = (
+        Dataset("modis", "s3://modis/{h}/{v}/%Y%j/t_h{h}v{v}.tif", engine="s3")
+        .set_timebounds("2017-01-01", "2017-01-02")
+        .set_spacebounds(ALBANIA, grid_dataframe=grid, matching_vars=["h", "v"])
+    )
+    rows = ds.discover(spark).collect()
+    # 2 intersecting grid cells × 2 days, tokens spliced
+    assert len(rows) == 4
+    paths = {r.search_path for r in rows}
+    assert "s3://modis/19/04/2017001/t_h19v04.tif" in paths
+    assert all("19" in p or "18" not in p for p in paths)
+
+
+def test_dataset_discover_stac(spark):
+    ds = (
+        Dataset("m", "https://example-catalog/collections/modis-grid", engine="stac")
+        .with_stac_catalog(stac.synth_catalog())
+        .set_timebounds("2017-01-01T00:00:00Z", "2017-01-02T00:00:00Z")
+        .set_spacebounds(ALBANIA)
+    )
+    out = ds.discover(spark)
+    assert out.count() == 4
+    assert set(out.columns) == {"engine_path", "gdal_path", "tile_name", "date"}
+
+
+def test_dataset_mosaic_clip_save_roundtrip(spark, tmp_path):
+    """discover-equivalent metadata → get_bands → mosaic → clip must
+    reproduce the golden VRT numbers; save() commits a catalog
+    snapshot that time-travels."""
+    ds = Dataset("modis", "unused", engine="s3").set_spacebounds(ALBANIA)
+    tiles = em._modis_catalog(spark)
+
+    bands = ds.get_bands(tiles)
+    assert {r.description for r in bands.collect()} == {
+        "Nadir_Reflectance_Band3", "Nadir_Reflectance_Band7",
+    }
+
+    asg = ds.mosaic(tiles, ["Nadir_Reflectance_Band3", "Nadir_Reflectance_Band7"])
+    placed = {(r.tile_name, int(r.dst_xoff), int(r.dst_yoff)) for r in asg.collect()}
+    assert placed == {("h19v04", 0, 0), ("h19v05", 0, 2400)}
+    assert {(int(r.mosaic_xsize), int(r.mosaic_ysize)) for r in asg.collect()} == {(2400, 4800)}
+
+    clips = ds.clip(asg, transform.SINUSOIDAL).collect()
+    assert {(int(c.xoff), int(c.yoff), int(c.xsize), int(c.ysize)) for c in clips} == {
+        (1005, 1754, 480, 735)
+    }
+
+    cat = Catalog(str(tmp_path / "cat"))
+    s1 = ds.save(cat, asg.select("band", "tile_name", "dst_xoff", "dst_yoff"))
+    s2 = ds.save(cat, asg.limit(1).select("band", "tile_name", "dst_xoff", "dst_yoff"))
+    assert cat.read(spark, "modis", snapshot=s1).count() == 4
+    assert cat.read(spark, "modis", snapshot=s2).count() == 1
+
+
+def test_dataset_cog_template(spark):
+    ds = Dataset("modis", "unused", engine="s3")
+    t, layout = ds.to_cog_template(
+        spark, 2400, 4800, 2, 2400, 2400,
+        em.MODIS_X0 + 0.5 * em.MODIS_RES,
+        em.MODIS_X0 + 2399.5 * em.MODIS_RES,
+        em.MODIS_Y0 + 0.5 * em.MODIS_RES_Y,
+        em.MODIS_Y0 + 4799.5 * em.MODIS_RES_Y,
+    )
+    assert (t["block_x"], t["block_y"]) == (2432, 2432)
+    assert layout.count() == 4
+
+
+def test_dataset_rejects_unknown_engine():
+    with pytest.raises(ValueError, match="unknown engine"):
+        Dataset("x", "s", engine="gdal")

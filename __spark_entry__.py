@@ -538,6 +538,29 @@ def _q_rel_sliding_windows(spark, sf_dir):
     )
 
 
+def _q_geo_catalog_time_travel(spark, sf_dir):
+    """Catalog snapshot semantics (S12, the Iceberg seam) as a gated
+    query: commit snapshot A (docs < 200), then replace with the full
+    table; reading A by snapshot id must still see the OLD rows while
+    the latest read sees the new — both aggregated per lang and
+    hash-compared against direct SQL over the source table."""
+    import tempfile
+
+    from earth_data_kit_spark.sources.catalog import Catalog
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    cat = Catalog(tempfile.mkdtemp(prefix="edk_cat_q_"))
+    s1 = cat.write(d.where(F.col("doc_id") < 200), "docs")
+    cat.write(d, "docs", mode="replace")
+    old = cat.read(spark, "docs", snapshot=s1).withColumn("snap", F.lit("old"))
+    cur = cat.read(spark, "docs").withColumn("snap", F.lit("latest"))
+    return (
+        old.unionByName(cur)
+        .groupBy("snap", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
 def _q_rel_sessions(spark, sf_dir):
     """Sessionization: 30-min-gap sessions per user via lag +
     gap-flag running sum (the window composition Spark lacks a
@@ -1130,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_grid_expand": _q_geo_grid_expand,
         "geo_stac_scan": _q_geo_stac_scan,
         "geo_date_extract": _q_geo_date_extract,
+        "geo_catalog_time_travel": _q_geo_catalog_time_travel,
         "rel_sliding_windows": _q_rel_sliding_windows,
         # relational core
         "rel_sessions": _q_rel_sessions,
@@ -1393,6 +1417,13 @@ WHERE minx <= {ALBANIA_BBOX[2]!r} AND maxx >= {ALBANIA_BBOX[0]!r}
 SELECT concat('s3://b/2017', lpad(CAST(i AS VARCHAR), 3, '0'), '/scene.tif') AS path,
        strftime(DATE '2017-01-01' + (CAST(i - 1 AS BIGINT) * INTERVAL 1 DAY), '%Y-%m-%d') AS day
 FROM range(1, 61) t(i)
+""",
+        "geo_catalog_time_travel": """
+SELECT 'old' AS snap, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE doc_id < 200 GROUP BY lang
+UNION ALL
+SELECT 'latest' AS snap, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
 """,
         "rel_sliding_windows": """
 WITH e AS (

@@ -100,3 +100,48 @@ def test_pip_agrees_with_bbox_for_rectangles(lons, lats):
     # the boundary — treat strict interior/exterior only
     interior = (np.abs(lo + 30) > 1e-9) & (np.abs(lo - 40) > 1e-9) & (np.abs(la + 10) > 1e-9) & (np.abs(la - 25) > 1e-9)
     assert (pip[interior] == bbox[interior]).all()
+
+
+@given(
+    qlat=st.floats(-89.0, 89.0),
+    qlon=st.floats(-180.0, 179.999),
+    radius_m=st.floats(1_000.0, 2_000_000.0),
+    bearing=st.floats(0.0, 360.0),
+    frac=st.floats(0.0, 1.0),
+    res=st.integers(4, 8),
+)
+@settings(max_examples=300, deadline=None)
+def test_ring_for_radius_covers_every_in_radius_point(qlat, qlon, radius_m, bearing, frac, res):
+    """Exactness contract of radius_join at ANY latitude (the polar
+    fix): a point at distance frac·radius along any bearing must land
+    in a cell of k_ring(query_cell, ring_for_radius(radius))."""
+    import math
+
+    from earth_data_kit_spark.operators.knn import ring_for_radius
+
+    d = radius_m * frac
+    br = math.radians(bearing)
+    lat1, lon1 = math.radians(qlat), math.radians(qlon)
+    ang = d / 6371000.0
+    lat2 = math.asin(
+        math.sin(lat1) * math.cos(ang) + math.cos(lat1) * math.sin(ang) * math.cos(br)
+    )
+    lon2 = lon1 + math.atan2(
+        math.sin(br) * math.sin(ang) * math.cos(lat1),
+        math.cos(ang) - math.sin(lat1) * math.sin(lat2),
+    )
+    plat = math.degrees(lat2)
+    plon = (math.degrees(lon2) + 540.0) % 360.0 - 180.0
+
+    # haversine distance of the destination point (numerical drift in
+    # the forward geodesic can overshoot the nominal radius slightly)
+    actual = geom.haversine_m(qlat, qlon, np.array([plat]), np.array([plon]))[0]
+    if actual > radius_m:
+        return
+
+    ring = ring_for_radius(radius_m, res, at_lat=qlat)
+    qcell = cells.cell_id_single(qlon, qlat, res)
+    pcell = cells.cell_id_single(plon, plat, res)
+    assert pcell in set(cells.k_ring(qcell, ring)), (
+        qlat, qlon, radius_m, plat, plon, ring
+    )

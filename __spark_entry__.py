@@ -989,12 +989,20 @@ def _q_txt_langid(spark, sf_dir):
     best = (
         hits.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("doc_id", F.col("lang").alias("best_lang"))
+        .select("doc_id", F.col("lang").alias("pred_lang"))
     )
-    pred = d.select("doc_id").join(best, "doc_id", "left").select(
-        F.coalesce("best_lang", F.lit("und")).alias("pred_lang")
+    # 'und' (no marker hit) counted by DIFFERENCE of two aggregates
+    # instead of left-joining `best` back onto the big table — at
+    # 100 TB that join is a second full shuffle of the corpus; the
+    # window cardinality is only docs-with-hits.
+    counts = best.groupBy("pred_lang").agg(F.count("*").alias("n_docs"))
+    und = (
+        d.agg(F.count("*").alias("total"))
+        .crossJoin(best.agg(F.count("*").alias("hit")))
+        .select(F.lit("und").alias("pred_lang"), (F.col("total") - F.col("hit")).alias("n_docs"))
+        .where(F.col("n_docs") > 0)
     )
-    return pred.groupBy("pred_lang").agg(F.count("*").alias("n_docs"))
+    return counts.unionByName(und)
 
 
 def _q_txt_quality(spark, sf_dir):

@@ -131,6 +131,26 @@ def main(argv: list[str] | None = None) -> None:
     else:
         lineage.commit_stage(todo, base, job, "knn", "part")
 
+    # ---- stage 5: training-data pass (quality + dedup stats) -------------
+    from earth_data_kit_spark.text.textcols import quality_score_col
+
+    quality = (
+        ingested.select("part", "text")
+        .withColumn("q", quality_score_col(F.col("text")))
+        .withColumn("text_md5", F.md5("text"))
+        .groupBy("part")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+            F.countDistinct("text_md5").alias("n_unique_texts"),
+        )
+    )
+    todo = lineage.resume_filter(quality, base, job, "quality", "part")
+    if todo.isEmpty():
+        print(f"[{job}] quality: all partitions committed, skipping")
+    else:
+        lineage.commit_stage(todo, base, job, "quality", "part")
+
     # ---- report ----------------------------------------------------------
     lin = spark.read.parquet(f"{base}/lineage").where(F.col("job_id") == job)
     print(f"[{job}] pipeline done in {time.time() - t_start:.1f}s; lineage:")

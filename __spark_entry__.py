@@ -292,6 +292,30 @@ def _q_geo_pip_polygon(spark, sf_dir):
     )
 
 
+# concave C-shape (CCW) with a rectangular hole, over Europe so the
+# dense Tirana cluster falls in the lower arm.  For the oracle the
+# region decomposes into axis-aligned rectangles: (A ∪ B ∪ C) \ hole —
+# SQL-expressible, while Spark runs the real ray-cast (holes incl.)
+CONCAVE_WKT = (
+    "POLYGON ((10 35, 30 35, 30 44, 18 44, 18 52, 30 52, 30 55, 10 55, 10 35), "
+    "(20 36, 24 36, 24 39, 20 39, 20 36))"
+)
+
+
+def _q_geo_pip_concave(spark, sf_dir):
+    """Ray-cast PIP on a CONCAVE ring with a hole — the general-
+    polygon path (goldens cover it in pytest; this puts it in the
+    driver gate).  Oracle: rectangle decomposition minus the hole."""
+    from earth_data_kit_spark.operators import spatial_join as sj
+
+    pages = _pages(spark, sf_dir)
+    polys = [sj.Polygon(code="CC", name="Concave", wkt=CONCAVE_WKT)]
+    return _nonempty(
+        sj.pip_join(pages, polys, res=CELL_RES).select("page_id", "code"),
+        "geo_pip_concave",
+    )
+
+
 def _q_geo_pyramid(spark, sf_dir):
     """Tile-pyramid rollup: per-cell page counts at res 7 rolled up
     hierarchically to res 3 (aggregates-of-aggregates; the oracle
@@ -1149,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_pip_countries": _q_geo_pip_countries,
         "geo_pip_rows": _q_geo_pip_rows,
         "geo_pip_polygon": _q_geo_pip_polygon,
+        "geo_pip_concave": _q_geo_pip_concave,
         "geo_pyramid": _q_geo_pyramid,
         "geo_knn": _q_geo_knn,
         "geo_radius_join": _q_geo_radius_join,
@@ -1248,6 +1273,17 @@ hp AS (
   FROM pages
 )
 SELECT page_id, 'P5' AS code FROM hp WHERE inside
+""",
+        "geo_pip_concave": f"""
+WITH pages AS ({pages})
+SELECT page_id, 'CC' AS code
+FROM pages
+WHERE (
+     (lon > 10 AND lon < 18 AND lat > 35 AND lat < 55)
+  OR (lon >= 18 AND lon < 30 AND lat > 35 AND lat < 44)
+  OR (lon >= 18 AND lon < 30 AND lat > 52 AND lat < 55)
+)
+AND NOT (lon > 20 AND lon < 24 AND lat > 36 AND lat < 39)
 """,
         "geo_pyramid": f"""
 WITH pages AS ({pages})

@@ -1092,6 +1092,31 @@ def _q_sim_lsh_ann(spark, sf_dir):
     )
 
 
+def _q_sim_ivf_ann(spark, sf_dir):
+    """IVF ANN over the NATURAL embeddings (no plants): spherical-
+    k-means coarse quantizer, nprobe lists per query, exact re-rank.
+    At (nlist=32, nprobe=12) measured recall is 1.0 probing ~38% of
+    this corpus, so the result equals brute-force top-k — the honest
+    scale path for the near-orthogonal regime where sign-LSH
+    degrades (see SCALE.md)."""
+    from earth_data_kit_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = cosine_topk_ivf(emb, q, k=5, nlist=32, nprobe=12)
+    return _nonempty(
+        out.select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "vec_id",
+            F.round("cosine", 6).alias("cosine"),
+        ),
+        "sim_ivf_ann",
+    )
+
+
 def _q_dd_embedding_pairs(spark, sf_dir):
     """Embedding near-dup pairs at cosine ≥ 0.9 over corpus + planted
     twins (vec_id%50==0, one coordinate negated → cos ≈ 0.94-0.99).
@@ -1218,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_embedding_pairs": _q_dd_embedding_pairs,
         "geo_zorder_counts": _q_geo_zorder_counts,
         "sim_lsh_ann": _q_sim_lsh_ann,
+        "sim_ivf_ann": _q_sim_ivf_ann,
         "mm_features": _q_mm_features,
     }
 
@@ -1853,6 +1879,25 @@ pairs AS (
   FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, round(cos, 6) AS cosine FROM pairs WHERE cos >= 0.9
+""",
+        "sim_ivf_ann": """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 3
+),
+c AS (
+  SELECT q.query_id, e.vec_id,
+    list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM c
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= 5
 """,
         "sim_label_centroid": """
 WITH counts AS (

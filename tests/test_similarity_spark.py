@@ -92,6 +92,28 @@ def test_lsh_high_recall_at_retrieval_similarity(spark, emb):
     assert hits / tot >= 0.9, (hits, tot)
 
 
+def test_ivf_high_recall_on_natural_neighbors(spark, emb, queries):
+    """IVF must handle the regime that kills sign-LSH: the NATURAL
+    nearest neighbors (cos ≈ 0.3, ~72° — nearly orthogonal, so ANY
+    space partition needs wide probes).  Measured operating point on
+    sf0.001: (nlist=16, nprobe=12) → recall 0.92 at k=10 probing ~74%
+    (numerically tuned; sign-LSH needs ~77% probed for 0.93 here).
+    The gate: recall ≥ 0.9."""
+    k = 10
+    exp = oracle_topk(emb.toPandas(), queries.toPandas(), k)
+    got = sim.cosine_topk_ivf(emb, queries, k=k, nlist=16, nprobe=12).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(by_q.get(qid, set()) & set(top)) for qid, top in exp.items())
+    tot = sum(len(top) for top in exp.values())
+    assert hits / tot >= 0.9, (hits, tot)
+    # rank-1 self always survives (a query probes its own list first)
+    for r in got:
+        if r.rank == 1:
+            assert r.vec_id == r.query_id
+
+
 def test_cosine_col_is_jvm_only(spark, emb, queries):
     df = sim.cosine_topk_bruteforce(emb, queries, k=5)
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -48,6 +48,36 @@ def _morton_sql(x: str, y: str, xbits: int, ybits: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+# char-trigram exact-jaccard pairs (doc_id < 100) — the DuckDB twin
+# of the Spark SQL in _q_dedup_trigram_jaccard; also the pair input
+# of the dd_dup_clusters oracle
+_TRIGRAM_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id < 100
+),
+grams AS (
+  -- constant series bound (max doc length < 2000) + filter: DuckDB's
+  -- generate_series cannot take lateral column parameters
+  SELECT DISTINCT doc_id, substring(t, CAST(i AS INTEGER), 3) AS g
+  FROM norm, generate_series(1, 2000) AS s(i)
+  WHERE i <= greatest(length(t) - 2, 1)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / (sa.n + sb.n - n_common) >= 0.2
+"""
+
+
 def _stac_oracle_sql() -> str:
     """geo_stac_scan oracle: the synth_catalog items as VALUES, with
     the same inclusive datetime range + bbox-intersect predicates the
@@ -912,6 +942,38 @@ WHERE n_common / (sa.n + sb.n - n_common) >= 0.2
     )
 
 
+def _q_dd_dup_clusters(spark, sf_dir):
+    """Connected components over the (already hash-gated) trigram
+    near-dup pairs → canonical doc per cluster.  Spark: iterative
+    min-label propagation to a fixpoint; oracle: DuckDB recursive-CTE
+    transitive closure — two entirely different algorithms for the
+    same answer."""
+    from earth_data_kit_spark.operators.dedup import dup_clusters
+
+    pairs = _q_dedup_trigram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    return _nonempty(dup_clusters(pairs).select("id", "cluster"), "dd_dup_clusters")
+
+
+def _q_txt_vocab(spark, sf_dir):
+    """Corpus vocabulary stats: top 30 letter-tokens by DOCUMENT
+    frequency (the df table a stop-shingle / tokenizer-training pass
+    needs), deterministic tie-break."""
+    from earth_data_kit_spark.text.textcols import letter_tokens_col
+
+    d = _read(spark, sf_dir, "documents")
+    df_counts = (
+        d.select("doc_id", F.explode(letter_tokens_col(F.col("text"))).alias("tok"))
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    return (
+        df_counts.orderBy(F.col("df").desc(), F.col("tok").asc())
+        .limit(30)
+        .select("tok", "df")
+    )
+
+
 def _q_sim_cosine_topk(spark, sf_dir):
     from earth_data_kit_spark.operators.similarity import cosine_topk_bruteforce
 
@@ -1236,6 +1298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_quality": _q_txt_quality,
         "dedup_exact": _q_dedup_exact,
         "dedup_trigram_jaccard": _q_dedup_trigram_jaccard,
+        "dd_dup_clusters": _q_dd_dup_clusters,
+        "txt_vocab": _q_txt_vocab,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_label_centroid": _q_sim_label_centroid_sim,
         "dd_minhash_pairs": _q_dd_minhash_pairs,
@@ -1707,30 +1771,29 @@ SELECT pred_lang, count(*) AS n_docs FROM pred GROUP BY 1
 SELECT min(doc_id) AS doc_id, count(*) AS n_dups
 FROM documents GROUP BY md5(text)
 """,
-        "dedup_trigram_jaccard": r"""
-WITH norm AS (
-  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-  FROM documents WHERE doc_id < 100
+        "dedup_trigram_jaccard": _TRIGRAM_ORACLE,
+        "dd_dup_clusters": f"""
+WITH RECURSIVE pairs AS ({_TRIGRAM_ORACLE}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
 ),
-grams AS (
-  -- constant series bound (max doc length < 2000) + filter: DuckDB's
-  -- generate_series cannot take lateral column parameters
-  SELECT DISTINCT doc_id, substring(t, CAST(i AS INTEGER), 3) AS g
-  FROM norm, generate_series(1, 2000) AS s(i)
-  WHERE i <= greatest(length(t) - 2, 1)
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+vertices AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, m) AS (
+  SELECT id, id FROM vertices
+  UNION
+  SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.id
 )
-SELECT id_a, id_b,
-       round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE n_common / (sa.n + sb.n - n_common) >= 0.2
+SELECT id, min(m) AS cluster FROM reach GROUP BY id
+""",
+        "txt_vocab": f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({_tc.letter_tokens_duckdb_sql("text")}) AS tok
+  FROM documents
+),
+df AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok)
+SELECT tok, df FROM df ORDER BY df DESC, tok ASC LIMIT 30
 """,
         "geo_zorder_counts": f"""
 WITH pages AS ({pages}),

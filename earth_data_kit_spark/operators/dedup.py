@@ -195,6 +195,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs → one canonical doc
+    per cluster (min id), the step that turns pairwise candidates
+    into a KEEP/DROP decision for the corpus.
+
+    Min-label propagation: every node starts as its own label; each
+    round joins labels across (symmetrized) edges and takes the min;
+    stops when a round changes nothing (diameter-bounded, checked
+    with one count per round — components in dedup graphs are
+    shallow).  Labels and edges are persisted per round and the
+    previous round unpersisted — the standard iterative-DataFrame
+    pattern (each round is one shuffle keyed by node id).
+
+    Output: (<id_a-named> id, cluster bigint) for every node that
+    appears in ``pairs``; cluster = min node id reachable."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        # neighbor minimum: edge dst receives src's current label
+        neigh = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("cluster").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce("neigh_min", F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("cluster"))
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

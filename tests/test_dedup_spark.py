@@ -113,6 +113,23 @@ def test_ngram_jaccard_exact(spark, docs_with_dups):
             assert (a, b) not in got
 
 
+def test_dup_clusters_connected_components(spark):
+    """Min-label propagation: known graph → known components,
+    including a chain (diameter > 1, forcing multiple rounds)."""
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4, pair {10,11}, triangle {20,21,22}, singleton edge {30,31}
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22), (30, 31)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r.id: r.cluster for r in dedup.dup_clusters(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }
+
+
 def test_embedding_neardup(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(150)
     # plant a near-identical vector

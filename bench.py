@@ -197,7 +197,8 @@ def main() -> None:
             "cell", cell_id_col(F.col("lon"), F.col("lat"), entrymod.CELL_RES)
         )
         salted, _ = sj.salted_hot_keys(
-            df, "cell", hot_threshold=100_000, salt_buckets=32, salt_cols=["page_id"]
+            df, "cell", hot_threshold=100_000, salt_buckets=32,
+            salt_cols=["page_id"], sample_fraction=0.02,
         )
         partial = salted.groupBy("cell", "salted_key").agg(
             F.count("*").alias("n"), F.sum("doc_id").alias("s")

@@ -127,6 +127,7 @@ def salted_hot_keys(
     hot_threshold: int,
     salt_buckets: int,
     salt_cols: list[str] | None = None,
+    sample_fraction: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Skew tooling (SURVEY.md §4 skew row): detect keys above a count
     threshold and return (df + salted_key column, hot_keys df).
@@ -149,10 +150,19 @@ def salted_hot_keys(
     salt_cols = salt_cols or [c for c in df.columns if c != key]
     if not salt_cols:
         raise ValueError("salted_hot_keys needs at least one non-key column to salt by")
+    # hot detection: exact by default; at scale pass sample_fraction
+    # so the detection pass reads a fraction of the table (threshold
+    # scaled accordingly).  Correctness is INVARIANT to the detected
+    # set — salting more or fewer keys only moves work between the
+    # partial and final aggregations — so sampling is always safe.
+    probe, thresh = df, float(hot_threshold)
+    if sample_fraction is not None:
+        probe = df.sample(fraction=sample_fraction, seed=42)
+        thresh = hot_threshold * sample_fraction
     hot = (
-        df.groupBy(key)
+        probe.groupBy(key)
         .count()
-        .where(F.col("count") >= hot_threshold)
+        .where(F.col("count") >= thresh)
         .select(key, F.lit(True).alias("is_hot"))
     )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets))

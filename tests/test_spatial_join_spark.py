@@ -168,3 +168,27 @@ def test_pip_join_shuffle_strategy_same_result(spark, polys):
         .collect()
     }
     assert bc == sh
+
+
+def test_salted_hot_keys_sampled_detection_same_merge(spark):
+    """Sampled hot detection must leave the merged aggregate identical
+    (correctness is invariant to WHICH keys get salted)."""
+    from earth_data_kit_spark.functions.columns import cell_id_col
+    from pyspark.sql import functions as F
+
+    pages = pages_meta_df(spark, SF)
+    df = pages.withColumn("cell", cell_id_col(F.col("lon"), F.col("lat"), 7))
+    salted, hot = sj.salted_hot_keys(
+        df, "cell", hot_threshold=50, salt_buckets=8, sample_fraction=0.3
+    )
+    assert hot.count() >= 1  # the 20% dense cell survives a 30% sample
+    merged = {
+        r.cell: r.n
+        for r in salted.groupBy("cell", "salted_key")
+        .agg(F.count("*").alias("n"))
+        .groupBy("cell")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    direct = {r.cell: r["count"] for r in df.groupBy("cell").count().collect()}
+    assert merged == direct

@@ -126,6 +126,55 @@ def tumbling_agg_stream(
     )
 
 
+def exact_dedup_stream(
+    spark: SparkSession,
+    parquet_dir: str,
+    schema: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_name: str = "dedup_stream",
+):
+    """Streaming twin of operators.dedup.exact_dedup: per-text-hash
+    GroupState keeps (min id, dup count) as documents arrive, so the
+    representative set is maintained INCREMENTALLY instead of
+    re-scanning the corpus per batch — the ingest-time dedup a
+    training pipeline runs in front of storage.  State is one row
+    per distinct text (bounded by content cardinality, like any
+    exact dedup).  Update-mode memory sink; batch==stream equality is
+    pinned in tests."""
+    import pandas as pd
+
+    def update(key, pdf_iter, state):
+        (text_md5,) = key
+        if state.exists:
+            min_id, n = state.get
+        else:
+            min_id, n = None, 0
+        for pdf in pdf_iter:
+            ids = pdf[id_col]
+            n += len(ids)
+            batch_min = int(ids.min())
+            min_id = batch_min if min_id is None else min(min_id, batch_min)
+        state.update((min_id, n))
+        yield pd.DataFrame({"text_md5": [text_md5], id_col: [min_id], "n_dups": [n]})
+
+    stream = spark.readStream.schema(schema).parquet(parquet_dir)
+    hashed = stream.withColumn("text_md5", F.md5(F.col(text_col)))
+    out = hashed.groupBy("text_md5").applyInPandasWithState(
+        update,
+        outputStructType=f"text_md5 string, {id_col} bigint, n_dups bigint",
+        stateStructType=f"min_id bigint, n bigint",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def tumbling_agg_stream_append(
     spark: SparkSession,
     parquet_dir: str,

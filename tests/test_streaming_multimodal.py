@@ -55,6 +55,57 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
         q.stop()
 
 
+DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Incremental dedup: after two micro-batches (the second plants
+    exact duplicates) the streamed per-hash state equals the batch
+    exact_dedup over the union.  Update-mode memory sinks append a
+    row per key per update — the latest (max n_dups) is the state."""
+    from earth_data_kit_spark.operators.dedup import exact_dedup
+
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "b1"))
+    import shutil
+
+    for f in (tmp_path / "b1").glob("*.parquet"):
+        shutil.copy(f, stream_dir / "b1.parquet")
+
+    q = windows.exact_dedup_stream(spark, str(stream_dir), DOCS_SCHEMA, query_name="dd_s")
+    try:
+        q.processAllAvailable()
+        # batch 2: 10 exact duplicates with HIGHER ids (reps must not
+        # displace the min) and 2 with LOWER ids (they must)
+        dup_hi = docs.limit(10).selectExpr(
+            "doc_id + 100000 AS doc_id", "text", "lang", "source", "n_chars"
+        )
+        dup_lo = docs.where(F.col("doc_id").isin(5, 7)).selectExpr(
+            "doc_id - 1000000 AS doc_id", "text", "lang", "source", "n_chars"
+        )
+        b2 = dup_hi.unionByName(dup_lo)
+        b2.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b2"))
+        for f in (tmp_path / "b2").glob("*.parquet"):
+            shutil.copy(f, stream_dir / "b2.parquet")
+        q.processAllAvailable()
+
+        rows = spark.sql(
+            "SELECT text_md5, doc_id, n_dups, "
+            "row_number() OVER (PARTITION BY text_md5 ORDER BY n_dups DESC) rn "
+            "FROM dd_s"
+        ).where("rn = 1")
+        got = {(r.doc_id, r.n_dups) for r in rows.collect()}
+        exp = {
+            (r.doc_id, r.n_dups)
+            for r in exact_dedup(docs.unionByName(b2)).collect()
+        }
+        assert got == exp
+    finally:
+        q.stop()
+
+
 def test_watermark_drops_late_events_append_mode(spark, tmp_path):
     """Append-mode tumbling windows: a window emits once when the
     watermark passes its end, and an event arriving after the

@@ -73,6 +73,70 @@ def test_knn_candidate_join_is_broadcast(spark):
     assert plan.count("Window") >= 2
 
 
+def test_bucketed_join_is_colocated_no_exchange(spark, tmp_path):
+    """The SCALE.md co-location claim, executed: two tables bucketed
+    by cell with the same bucket count join WITHOUT shuffling either
+    side (no Exchange above the scans) — the stored-table layout the
+    100 TB pages table would use for repeated cell joins."""
+    from earth_data_kit_spark.functions.columns import cell_id_col
+    from earth_data_kit_spark.sources.pages import pages_meta_df
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdb LOCATION '{tmp_path}/wh'")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        pages = pages_meta_df(spark, SF).withColumn(
+            "cell", cell_id_col(F.col("lon"), F.col("lat"), 5)
+        )
+        (
+            pages.write.bucketBy(8, "cell").sortBy("cell")
+            .mode("overwrite").saveAsTable("bdb.pages_b")
+        )
+        (
+            pages.groupBy("cell").count().write.bucketBy(8, "cell").sortBy("cell")
+            .mode("overwrite").saveAsTable("bdb.cells_b")
+        )
+        # force the sort-merge path (broadcast would hide the
+        # co-location property this layout exists for)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bdb.pages_b").join(
+            spark.table("bdb.cells_b").withColumnRenamed("count", "n"), "cell"
+        )
+        assert joined.count() == pages.count()
+        plan = plan_of(joined)  # AQE final plan, post-execution
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.sql("DROP DATABASE IF EXISTS bdb CASCADE")
+
+
+def test_dynamic_partition_pruning_on_part_key(spark, tmp_path):
+    """DPP: a fact table partitioned by the coarse cell prefix joined
+    against a FILTERED dim produces a dynamicpruning subquery on the
+    partition column — only matching partitions are scanned (the
+    free partition pruning the storage layout section claims)."""
+    from earth_data_kit_spark.functions.columns import cell_id_col
+    from earth_data_kit_spark.sources.pages import pages_meta_df
+
+    pages = pages_meta_df(spark, SF).withColumn(
+        "part", cell_id_col(F.col("lon"), F.col("lat"), 2)
+    )
+    fact = str(tmp_path / "fact")
+    pages.write.partitionBy("part").mode("overwrite").parquet(fact)
+    dim = str(tmp_path / "dim")
+    (
+        pages.select("part").distinct()
+        .withColumn("keep", (F.col("part") % 3 == 0).cast("int"))
+        .write.mode("overwrite").parquet(dim)
+    )
+    joined = spark.read.parquet(fact).join(
+        spark.read.parquet(dim).where("keep = 1"), "part"
+    )
+    joined.count()  # DPP subqueries materialize in the AQE final plan
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), plan
+
+
 def test_cell_expr_is_codegen_only(spark):
     from earth_data_kit_spark.functions.columns import cell_id_col
     from earth_data_kit_spark.sources.pages import pages_meta_df

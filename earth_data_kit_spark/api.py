@@ -138,6 +138,32 @@ class Dataset:
         the Iceberg seam); returns the snapshot id."""
         return catalog.write(df, table or self.name)
 
+    def combine(
+        self,
+        ref_blocks: DataFrame,
+        others: list[DataFrame],
+        ref_size: tuple[int, int],
+        src_sizes: list[tuple[int, int]],
+        method=None,
+        dst_block: int = 256,
+    ) -> DataFrame:
+        """Reference ``Dataset.combine``: align every raster onto the
+        reference grid (bilinear halo-exchange regrid) and stack as
+        bands 1..N (reference first)."""
+        from earth_data_kit_spark.operators.blocks import combine_blocks
+
+        return combine_blocks(ref_blocks, others, ref_size, src_sizes, method, dst_block)
+
+    def read_window(
+        self, blocks: DataFrame, xoff: int, yoff: int, xsize: int, ysize: int
+    ) -> DataFrame:
+        """Reference ``.to_dataarray()`` read path analog: clamped
+        windowed read over the blocks table (prune → decode → mask →
+        scale), one row per surviving block."""
+        from earth_data_kit_spark.operators.blocks import windowed_read
+
+        return windowed_read(blocks, xoff, yoff, xsize, ysize)
+
     def to_cog_template(
         self,
         spark: SparkSession,

@@ -228,6 +228,52 @@ def regrid_bilinear(
     )
 
 
+def combine_blocks(
+    ref: DataFrame,
+    others: list[DataFrame],
+    ref_size: tuple[int, int],
+    src_sizes: list[tuple[int, int]],
+    method: str | list[str] | None = None,
+    dst_block: int = 256,
+    out_dtype: str = "float32",
+) -> DataFrame:
+    """``Dataset.combine`` (reference dataset.py:923-965): align every
+    input raster onto the REFERENCE grid by interpolation and stack
+    them as bands 1..N (reference first) — xr.concat(dim='band')
+    restated as a union of regridded block tables with the band
+    coordinate reassigned.
+
+    ``method`` mirrors the reference's contract: a single string or a
+    per-input list (only 'linear' — bilinear — is implemented, the
+    reference's default); a length mismatch raises, like the
+    reference.  The reference passes through unresampled: the
+    identity bilinear (src grid == dst grid) is exact — pixel centers
+    map onto themselves — so one code path serves all bands."""
+    if method is None:
+        method = ["linear"] * len(others)
+    elif isinstance(method, str):
+        method = [method] * len(others)
+    elif isinstance(method, (list, tuple)):
+        if len(method) != len(others):
+            raise ValueError("Length of method list must match number of inputs.")
+    else:
+        raise TypeError("method must be a string or a list/tuple of strings.")
+    for m in method:
+        if m != "linear":
+            raise NotImplementedError(f"interpolation method {m!r} (only 'linear')")
+    if len(others) != len(src_sizes):
+        raise ValueError("src_sizes must match others")
+
+    stacked = []
+    for i, (bl, size) in enumerate([(ref, ref_size)] + list(zip(others, src_sizes))):
+        rg = regrid_bilinear_blocks(bl, size, ref_size, dst_block, out_dtype)
+        stacked.append(rg.withColumn("band", F.lit(str(i + 1))))
+    out = stacked[0]
+    for s in stacked[1:]:
+        out = out.unionByName(s)
+    return out
+
+
 def regrid_bilinear_blocks(
     blocks: DataFrame,
     src_size: tuple[int, int],

@@ -107,6 +107,43 @@ def _bilinear_oracle(full, sw, sh, dw, dh):
     )
 
 
+def test_combine_blocks_stacks_on_ref_grid(spark):
+    """Dataset.combine semantics: band 1 must be the reference's own
+    values EXACTLY (identity bilinear is exact at pixel centers),
+    band 2 the bilinear-aligned second raster (numpy oracle)."""
+    ref = B.synth_blocks_df(spark, 64, 64, 32, nodata=-1.0, scale=1.0, band="REF")
+    other = B.synth_blocks_df(spark, 128, 128, 32, nodata=-1.0, scale=1.0, band="B2")
+    out = B.combine_blocks(ref, [other], (64, 64), [(128, 128)], dst_block=64).collect()
+    by_band = {}
+    for r in out:
+        a = np.array(r["values"], dtype=np.float32).reshape(r.ysize, r.xsize)
+        by_band.setdefault(r.band, np.full((64, 64), np.nan, np.float32))[
+            r.yoff : r.yoff + r.ysize, r.xoff : r.xoff + r.xsize
+        ] = a
+    assert set(by_band) == {"1", "2"}
+
+    xg, yg = np.meshgrid(np.arange(64), np.arange(64))
+    ref_full = ((xg * 31 + yg * 17) % 30000).astype(np.float64)
+    ref_full[yg % 97 == 0] = np.nan
+    got1, exp1 = by_band["1"], ref_full.astype(np.float32)
+    nan1 = np.isnan(got1) & np.isnan(exp1)
+    assert (nan1 | (got1 == exp1)).all()  # identity regrid is EXACT
+
+    xg2, yg2 = np.meshgrid(np.arange(128), np.arange(128))
+    full2 = ((xg2 * 31 + yg2 * 17) % 30000).astype(np.float64)
+    full2[yg2 % 97 == 0] = np.nan
+    exp2 = _bilinear_oracle(full2, 128, 128, 64, 64)
+    got2 = by_band["2"]
+    nan2 = np.isnan(got2) & np.isnan(exp2)
+    assert (nan2 | np.isclose(got2, exp2, rtol=1e-6)).all()
+
+    # reference's method-contract parity
+    with pytest.raises(ValueError, match="method list"):
+        B.combine_blocks(ref, [other], (64, 64), [(128, 128)], method=["linear", "linear"])
+    with pytest.raises(TypeError):
+        B.combine_blocks(ref, [other], (64, 64), [(128, 128)], method=42)
+
+
 @pytest.mark.parametrize("dst", [(96, 64), (256, 320)])  # down- and up-sample
 def test_regrid_halo_exchange_matches_oracle(spark, dst):
     """Cross-tile regrid: the mosaic (4×4 blocks of 32, i.e. 16

@@ -152,6 +152,8 @@ def exact_dedup_stream(
             min_id, n = None, 0
         for pdf in pdf_iter:
             ids = pdf[id_col]
+            if len(ids) == 0:  # Arrow may hand over empty batches
+                continue
             n += len(ids)
             batch_min = int(ids.min())
             min_id = batch_min if min_id is None else min(min_id, batch_min)

@@ -35,6 +35,7 @@ _SPACE_CLASS_RE2 = "[ \\t\\n\\r\\f\\x0B]"
 
 def token_count_col(text: Column) -> Column:
     """analysis.token_count as a Column (regexp_extract_all size)."""
+    text = F.coalesce(text, F.lit(""))  # UDF twins map None → ""
     return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), F.lit(0)))
 
 
@@ -44,6 +45,7 @@ def token_count_duckdb_sql(col: str) -> str:
 
 
 def _counts_cols(text: Column) -> dict[str, Column]:
+    text = F.coalesce(text, F.lit(""))  # UDF twins map None → ""
     n = F.length(text)
     n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
     n_digit = F.length(F.regexp_replace(text, "[^0-9]", ""))
@@ -104,6 +106,7 @@ def quality_score_duckdb_sql(col: str) -> str:
 def letter_tokens_col(text: Column) -> Column:
     """analysis.letter_tokens as a Column: array of lowercase [a-z]+
     tokens (explode + filter at the call site)."""
+    text = F.coalesce(text, F.lit(""))  # UDF twins map None → ""
     return F.filter(
         F.split(F.regexp_replace(F.lower(text), "[^a-z]+", " "), " "),
         lambda t: t != "",

@@ -21,6 +21,7 @@ from earth_data_kit_spark.text.textcols import (
 SF = "/root/testdata/sf0.001"
 
 EDGE_TEXTS = [
+    None,
     "", "   ", "a", "ab cd!", "@@@ ### !!!", "12345 67890",
     "the cat and the dog sat in the house",
     "der Hund und die Katze ist nicht da",

@@ -974,6 +974,35 @@ def _q_txt_vocab(spark, sf_dir):
     )
 
 
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _q_txt_stratified_sample(spark, sf_dir):
+    """Reproducible stratified sample: first 20 docs per lang in
+    md5(doc_id) order — the curation sample that must be identical
+    across engines/reruns/cluster sizes (rand()/sample() are not).
+    Oracle recomputes the same md5 ranking in DuckDB."""
+    from earth_data_kit_spark.operators.sampling import stratified_sample
+
+    d = _read(spark, sf_dir, "documents")
+    out = stratified_sample(d, "lang", 20, "doc_id")
+    return out.select(
+        "doc_id", "lang", F.col("sample_rank").cast("bigint").alias("sample_rank")
+    )
+
+
+def _q_txt_split_counts(spark, sf_dir):
+    """Deterministic train/val/test split (md5-bucketed 80/10/10):
+    per-split doc counts and char totals, hash-stable under reruns."""
+    from earth_data_kit_spark.operators.sampling import deterministic_split
+
+    d = _read(spark, sf_dir, "documents")
+    out = deterministic_split(d, "doc_id", SPLIT_FRACTIONS)
+    return out.groupBy("split").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
 def _q_sim_cosine_topk(spark, sf_dir):
     from earth_data_kit_spark.operators.similarity import cosine_topk_bruteforce
 
@@ -1300,6 +1329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_trigram_jaccard": _q_dedup_trigram_jaccard,
         "dd_dup_clusters": _q_dd_dup_clusters,
         "txt_vocab": _q_txt_vocab,
+        "txt_stratified_sample": _q_txt_stratified_sample,
+        "txt_split_counts": _q_txt_split_counts,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_label_centroid": _q_sim_label_centroid_sim,
         "dd_minhash_pairs": _q_dd_minhash_pairs,
@@ -1821,6 +1852,39 @@ WHERE ({" OR ".join(
     for b in range(16)
 )})
   AND ({" + ".join(f"(CASE WHEN a.sig[{i}] = b.sig[{i}] THEN 1 ELSE 0 END)" for i in range(1, 65))}) / 64e0 >= 0.3
+""",
+        "txt_stratified_sample": """
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 20
+""",
+        "txt_split_counts": f"""
+WITH u AS (
+  SELECT n_chars,
+    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS INTEGER)
+      / 16777216e0 AS u
+  FROM documents
+),
+s AS (
+  -- cumulative thresholds rendered from the SAME python float
+  -- accumulation the Spark operator uses (0.8+0.1 is not 0.9 in
+  -- IEEE; a bare literal would be DECIMAL in DuckDB) — string→DOUBLE
+  -- parse reproduces the exact double
+  SELECT n_chars, CASE {" ".join(
+      f"WHEN u < CAST('{c!r}' AS DOUBLE) THEN '{name}'"
+      for name, c in (lambda fr: [
+          (n, sum(list(fr.values())[: i + 1])) for i, n in enumerate(fr)
+      ])(SPLIT_FRACTIONS)
+  )} ELSE '{list(SPLIT_FRACTIONS)[-1]}' END AS split
+  FROM u
+)
+SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY split
 """,
         "sim_cosine_topk": """
 WITH q AS (

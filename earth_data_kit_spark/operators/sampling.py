@@ -1,0 +1,75 @@
+"""Deterministic sampling for training-data curation.
+
+Random sampling (`df.sample`, `sampleBy`) is partition-order-
+dependent and engine-specific — unusable when the sample must be
+reproducible across reruns, engines, and cluster sizes (the property
+a curation pipeline needs for auditability).  These operators order
+rows by a CONTENT-derived md5 rank instead: the "randomness" is the
+hash, so any engine computing md5 draws the identical sample.
+
+Scale shape: one window per stratum (hash-uniform within, so no
+skew beyond the strata sizes themselves); the rank column also
+serves as a stable shuffle/sort key for downstream splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_rank_col(key: Column, salt: str = "") -> Column:
+    """md5(salt ‖ key) — the deterministic pseudo-random order key.
+    md5 is identical across Spark/DuckDB/python, unlike xxhash64
+    (Spark-only) or rand() (nondeterministic under retries)."""
+    return F.md5(F.concat(F.lit(salt), key.cast("string")))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """The first ``n_per_stratum`` rows per stratum in md5 order —
+    a reproducible stratified sample (rows carry ``sample_rank``).
+    Ties are impossible for distinct keys (md5 collisions aside), so
+    the sample is exactly determined by (salt, keys)."""
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_rank_col(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Train/val/test-style split: buckets rows by the first 6 hex
+    chars of the md5 rank (uniform in [0, 1)), assigning each row to
+    the split whose cumulative fraction range contains it.  Stable
+    under reruns, retries, and engine changes; adds ``split``."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = F.conv(F.substring(hash_rank_col(F.col(key_col), salt), 1, 6), 16, 10).cast(
+        "double"
+    ) / float(0xFFFFFF + 1)
+    expr = None
+    acc = 0.0
+    last = list(fractions)[-1]
+    for name, frac in fractions.items():
+        acc += frac
+        cond = u < acc
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    return df.withColumn("split", F.coalesce(expr, F.lit(last)))

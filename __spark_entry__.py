@@ -346,6 +346,22 @@ def _q_geo_pip_concave(spark, sf_dir):
     )
 
 
+def _q_geo_pip_antimeridian(spark, sf_dir):
+    """Antimeridian-crossing bbox (xmin > xmax): the covering wraps
+    (grid/cells.covering_bbox) and the rectangle refine switches to a
+    longitude DISJUNCTION — the silent-empty AND was a real bug the
+    wrap-aware refine fixed.  Pacific box, hits on both sides of
+    ±180."""
+    from earth_data_kit_spark.operators import spatial_join as sj
+
+    pages = _pages(spark, sf_dir)
+    polys = [sj.Polygon(code="AM", name="Pacific", bbox=(150.0, -40.0, -140.0, 10.0))]
+    return _nonempty(
+        sj.pip_join(pages, polys, res=CELL_RES).select("page_id", "code"),
+        "geo_pip_antimeridian",
+    )
+
+
 def _q_geo_pyramid(spark, sf_dir):
     """Tile-pyramid rollup: per-cell page counts at res 7 rolled up
     hierarchically to res 3 (aggregates-of-aggregates; the oracle
@@ -1290,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_pip_rows": _q_geo_pip_rows,
         "geo_pip_polygon": _q_geo_pip_polygon,
         "geo_pip_concave": _q_geo_pip_concave,
+        "geo_pip_antimeridian": _q_geo_pip_antimeridian,
         "geo_pyramid": _q_geo_pyramid,
         "geo_knn": _q_geo_knn,
         "geo_radius_join": _q_geo_radius_join,
@@ -1394,6 +1411,12 @@ hp AS (
   FROM pages
 )
 SELECT page_id, 'P5' AS code FROM hp WHERE inside
+""",
+        "geo_pip_antimeridian": f"""
+WITH pages AS ({pages})
+SELECT page_id, 'AM' AS code
+FROM pages
+WHERE (lon >= 150.0 OR lon <= -140.0) AND lat >= -40.0 AND lat <= 10.0
 """,
         "geo_pip_concave": f"""
 WITH pages AS ({pages})

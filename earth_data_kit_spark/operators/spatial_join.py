@@ -108,10 +108,17 @@ def pip_join(
             *[x for c, b in rect.items() for x in (F.lit(c), F.array(*[F.lit(v) for v in b]))]
         )
         bb = bx[F.col("code")]
+        # antimeridian-crossing boxes have xmin > xmax (the covering
+        # side already wraps, cells.covering_bbox): longitude test
+        # becomes a disjunction there instead of silently-empty AND
+        lon_in = F.when(
+            bb[0] <= bb[2],
+            (F.col(lon_col) >= bb[0]) & (F.col(lon_col) <= bb[2]),
+        ).otherwise((F.col(lon_col) >= bb[0]) | (F.col(lon_col) <= bb[2]))
         keep = keep | (
             bb.isNotNull()
-            & (F.col(lon_col) >= bb[0]) & (F.col(lat_col) >= bb[1])
-            & (F.col(lon_col) <= bb[2]) & (F.col(lat_col) <= bb[3])
+            & lon_in
+            & (F.col(lat_col) >= bb[1]) & (F.col(lat_col) <= bb[3])
         )
     if poly:
         refine = pip_refine_udf(poly)

@@ -89,6 +89,26 @@ def test_covering_superset(spark, polys):
         assert set(np.unique(pc)).issubset(cov)
 
 
+def test_pip_join_antimeridian_bbox(spark):
+    """xmin > xmax boxes wrap: the refine must be a longitude
+    DISJUNCTION (the AND form silently matched nothing — regression
+    guard for the wrap-aware fix)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    pts = spark.createDataFrame(
+        [
+            (1, 5.0, 175.0),    # west of the antimeridian, inside
+            (2, 5.0, -175.0),   # east of it, inside
+            (3, 5.0, 0.0),      # lon outside
+            (4, 50.0, 175.0),   # lat outside
+        ],
+        "page_id bigint, lat double, lon double",
+    )
+    poly = sj.Polygon(code="AM", name="wrap", bbox=(150.0, -40.0, -140.0, 10.0))
+    got = {r.page_id for r in sj.pip_join(pts, [poly], res=5).collect()}
+    assert got == {1, 2}
+
+
 def test_salted_hot_keys(spark):
     pages = pages_meta_df(spark, SF)
     from earth_data_kit_spark.functions.columns import cell_id_col

@@ -263,20 +263,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_geo_cell_counts(spark, sf_dir):
-    pages = _pages(spark, sf_dir)
-    return (
-        pages.withColumn("cell", cell_id_col(F.col("lon"), F.col("lat"), CELL_RES))
-        .groupBy("cell")
-        .agg(F.count("*").alias("n_pages"))
-    )
-
-
-def _q_geo_cell_counts_salted(spark, sf_dir):
-    """Same result as geo_cell_counts, computed through the skew
-    tooling: hot cells (the dense Tirana cell holds ~20% of pages)
-    shuffle on a salted key, then partials merge by the true cell —
-    the two-level pattern for hot-key aggs whose per-key state is
-    large.  Oracle = the plain per-cell counts, proving the
+    """Per-cell page counts, computed through the skew tooling (the
+    round-2 geo_cell_counts_salted gate folded in here to stay inside
+    the driver's 50-query cap): hot cells (the dense Tirana cell holds
+    ~20% of pages) shuffle on a salted key, then partials merge by the
+    true cell — the two-level pattern for hot-key aggs whose per-key
+    state is large.  Oracle = the plain per-cell counts, proving the
     salt+merge round-trip is lossless."""
     from earth_data_kit_spark.operators.spatial_join import salted_hot_keys
 
@@ -505,19 +497,6 @@ def _q_geo_time_buckets(spark, sf_dir):
     return (
         out.groupBy(F.unix_timestamp("bucket").alias("bucket_s"))
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
-    )
-
-
-def _q_geo_time_expand(spark, sf_dir):
-    """S2 template time expansion (discover operator) — one row per
-    day with the strftime tokens spliced into the search path."""
-    from earth_data_kit_spark.operators.discover import expand_time
-
-    out = expand_time(
-        spark, "s3://bucket/%Y%j/scene_%Y-%m-%d.tif", "2017-01-01", "2017-01-31"
-    )
-    return out.select(
-        F.date_format("date", "yyyy-MM-dd").alias("day"), "search_path"
     )
 
 
@@ -781,24 +760,6 @@ def _q_rel_q4_priority_exists(spark, sf_dir):
     )
 
 
-def _q_rel_q10_returned_items(spark, sf_dir):
-    """TPC-H Q10 shape: revenue lost to returned items per customer,
-    top 20 (join × filter × agg × ordered limit)."""
-    c = _read(spark, sf_dir, "customer")
-    o = _read(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
-    )
-    li = _read(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-        .limit(20)
-    )
-
-
 def _q_rel_q14_promo_share(spark, sf_dir):
     """TPC-H Q14 shape: promo revenue share — conditional aggregate
     over a part join (p_type = 'PROMO' in the testdata's type enum)."""
@@ -872,12 +833,6 @@ def _q_rel_anti_join(spark, sf_dir):
     )
 
 
-def _q_rel_semi_join(spark, sf_dir):
-    s = _read(spark, sf_dir, "supplier")
-    li = _read(spark, sf_dir, "lineitem").where(F.col("l_shipdate") >= "1996-01-01")
-    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select("s_suppkey", "s_name")
-
-
 def _q_rel_rollup(spark, sf_dir):
     c = _read(spark, sf_dir, "customer")
     n = _read(spark, sf_dir, "nation")
@@ -905,17 +860,6 @@ def _q_rel_conditional_pivot(spark, sf_dir):
     )
 
 
-def _q_txt_stats(spark, sf_dir):
-    d = _read(spark, sf_dir, "documents")
-    toks = F.when(
-        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
-    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("bigint")
-    return d.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-        F.sum(toks).alias("total_ws_tokens"),
-        F.round(F.avg(F.length("text")), 4).alias("avg_len"),
-    )
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -1298,10 +1242,27 @@ def _q_mm_features(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """EXACTLY 50 entries — the driver records at most 50 rows per
+    round (round 2 silently dropped the last 5 of 55), so the dict is
+    capped at 50 and ordered highest-information-first as insurance.
+    Retired into pytest-only coverage (VERDICT r2 'What's wrong' #1):
+    geo_cell_counts_salted (geo_cell_counts now routes through the
+    salted operator, so the salt machinery keeps a driver row),
+    geo_time_expand (expand_time still driver-covered via
+    geo_grid_expand), txt_stats (overlaps txt_quality/txt_vocab),
+    rel_semi_join (exists/semi covered by rel_q4_priority_exists),
+    rel_q10_returned_items (join+agg+topk covered by rel_q3/rel_q18).
+    """
     return {
+        # previously-unrecorded components first (ANN / embedding /
+        # z-order / multimodal — the brief's first-class surfaces)
+        "dd_embedding_pairs": _q_dd_embedding_pairs,
+        "sim_lsh_ann": _q_sim_lsh_ann,
+        "sim_ivf_ann": _q_sim_ivf_ann,
+        "geo_zorder_counts": _q_geo_zorder_counts,
+        "mm_features": _q_mm_features,
         # geospatial engine
         "geo_cell_counts": _q_geo_cell_counts,
-        "geo_cell_counts_salted": _q_geo_cell_counts_salted,
         "geo_pip_countries": _q_geo_pip_countries,
         "geo_pip_rows": _q_geo_pip_rows,
         "geo_pip_polygon": _q_geo_pip_polygon,
@@ -1315,13 +1276,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_regrid_block_means": _q_geo_regrid_block_means,
         "geo_cog_layout": _q_geo_cog_layout,
         "geo_time_buckets": _q_geo_time_buckets,
-        "geo_time_expand": _q_geo_time_expand,
         "geo_grid_expand": _q_geo_grid_expand,
         "geo_stac_scan": _q_geo_stac_scan,
         "geo_date_extract": _q_geo_date_extract,
         "geo_catalog_time_travel": _q_geo_catalog_time_travel,
-        "rel_sliding_windows": _q_rel_sliding_windows,
         # relational core
+        "rel_sliding_windows": _q_rel_sliding_windows,
         "rel_sessions": _q_rel_sessions,
         "rel_stats": _q_rel_stats,
         "rel_asof_join": _q_rel_asof_join,
@@ -1330,16 +1290,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q5_supplier_volume": _q_rel_q5_supplier_volume,
         "rel_q6_forecast": _q_rel_q6_forecast,
         "rel_q4_priority_exists": _q_rel_q4_priority_exists,
-        "rel_q10_returned_items": _q_rel_q10_returned_items,
         "rel_q14_promo_share": _q_rel_q14_promo_share,
         "rel_q18_large_orders": _q_rel_q18_large_orders,
         "rel_top_customers_window": _q_rel_top_customers_window,
         "rel_anti_join": _q_rel_anti_join,
-        "rel_semi_join": _q_rel_semi_join,
         "rel_rollup": _q_rel_rollup,
         "rel_conditional_pivot": _q_rel_conditional_pivot,
         # text / dedup / similarity
-        "txt_stats": _q_txt_stats,
         "txt_langid": _q_txt_langid,
         "txt_quality": _q_txt_quality,
         "dedup_exact": _q_dedup_exact,
@@ -1352,11 +1309,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_label_centroid": _q_sim_label_centroid_sim,
         "dd_minhash_pairs": _q_dd_minhash_pairs,
         "dd_simhash_pairs": _q_dd_simhash_pairs,
-        "dd_embedding_pairs": _q_dd_embedding_pairs,
-        "geo_zorder_counts": _q_geo_zorder_counts,
-        "sim_lsh_ann": _q_sim_lsh_ann,
-        "sim_ivf_ann": _q_sim_ivf_ann,
-        "mm_features": _q_mm_features,
     }
 
 
@@ -1376,10 +1328,6 @@ def oracle_sql() -> dict[str, str]:
     hav = haversine_m_sql("q.qlat", "q.qlon", "p.lat", "p.lon")
     return {
         "geo_cell_counts": f"""
-WITH pages AS ({pages})
-SELECT {cell} AS cell, count(*) AS n_pages FROM pages GROUP BY 1
-""",
-        "geo_cell_counts_salted": f"""
 WITH pages AS ({pages})
 SELECT {cell} AS cell, count(*) AS n_pages FROM pages GROUP BY 1
 """,
@@ -1579,11 +1527,6 @@ SELECT
   round(CAST(sum(value) AS DOUBLE), 2) AS total_value
 FROM events GROUP BY 1
 """,
-        "geo_time_expand": """
-SELECT strftime(d, '%Y-%m-%d') AS day,
-  concat('s3://bucket/', strftime(d, '%Y%j'), '/scene_', strftime(d, '%Y-%m-%d'), '.tif') AS search_path
-FROM generate_series(TIMESTAMP '2017-01-01', TIMESTAMP '2017-01-31', INTERVAL 1 DAY) AS t(d)
-""",
         "geo_grid_expand": f"""
 WITH grid(h, v, minx, miny, maxx, maxy) AS (VALUES
   ('19', '04', 11.54, 39.99, 26.08, 50.0),
@@ -1715,18 +1658,6 @@ WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
   )
 GROUP BY o_orderpriority
 """,
-        "rel_q10_returned_items": """
-SELECT c_custkey, c_name,
-  round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
-FROM customer, orders, lineitem
-WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
-  AND l_returnflag = 'R'
-GROUP BY c_custkey, c_name
-ORDER BY revenue DESC, c_custkey ASC
-LIMIT 20
-""",
         "rel_q14_promo_share": """
 SELECT
   round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) AS DOUBLE)
@@ -1766,13 +1697,6 @@ WHERE NOT EXISTS (
   WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
 )
 """,
-        "rel_semi_join": """
-SELECT s_suppkey, s_name FROM supplier
-WHERE EXISTS (
-  SELECT 1 FROM lineitem
-  WHERE l_suppkey = s_suppkey AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-)
-""",
         "rel_rollup": """
 SELECT r_name, n_name, count(*) AS n_customers,
        round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS total_acctbal
@@ -1787,14 +1711,6 @@ SELECT user_id % 10 AS user_bucket, count(*) AS n,
   round(CAST(sum(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END) AS DOUBLE), 2) AS sum_view,
   round(CAST(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS DOUBLE), 2) AS sum_purchase
 FROM events GROUP BY 1
-""",
-        "txt_stats": r"""
-SELECT lang, count(*) AS n_docs,
-  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS total_ws_tokens,
-  round(avg(length(text)), 4) AS avg_len
-FROM documents GROUP BY lang
 """,
         "txt_quality": f"""
 SELECT doc_id,

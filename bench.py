@@ -63,15 +63,45 @@ def main() -> None:
             return None
         # steady-state: best of N runs — the first run pays one-time
         # costs (page cache, broadcast build, python worker spin-up)
-        # that a long-lived job amortizes
+        # that a long-lived job amortizes.  A GC barrier before each
+        # run isolates queries from the previous query's heap debris
+        # (r2 measured extract_geocode 1.55× slower on an unchanged
+        # workload purely from running after the ×16-scan queries).
         best, out = None, None
         for _ in range(runs):
+            spark.sparkContext._jvm.System.gc()
             t0 = time.time()
             out = fn()
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
         return out
+
+    # q-html FIRST: full html path — fused extract+geocode UDF (Arrow
+    # hot path) over a MATERIALIZED html table (the 100 TB table
+    # stores html; measuring the in-flight synth would time the
+    # generator instead).  Measured BEFORE the ×16-scan queries: r2
+    # showed a 1.55× slowdown on this unchanged workload when it ran
+    # after the big scans (JVM heap/page-cache churn), so the fused-UDF
+    # number is taken on a quiet JVM.
+    html_reps = min(64, max(1, PAGES_REPS // 8))
+    html_path = f"/tmp/edk_bench_html_{os.path.basename(SF_DIR)}_{html_reps}"
+    if not os.path.exists(html_path):
+        synth_pages_df(spark, SF_DIR, reps=html_reps, partitions=128).select(
+            "page_id", "url", "html"
+        ).write.mode("overwrite").parquet(html_path)
+    html_pages = spark.read.parquet(html_path)
+
+    def _html_pipeline():
+        g = html_pages.select(
+            extract_geocode_udf(F.col("html"), F.col("url")).alias("g")
+        ).select("g.method")
+        return g.groupBy("method").count().collect()
+
+    timed("extract_geocode", _html_pipeline)
+    if "extract_geocode" in timings:
+        n_html = html_pages.count()
+        extras["extract_docs_per_sec"] = round(n_html / timings["extract_geocode"], 1)
 
     # materialize the pages table once (parquet) so queries measure the
     # operators, not the synth; at 100 TB this is the stored table.
@@ -143,28 +173,6 @@ def main() -> None:
         ).collect(),
     )
 
-    # q4: full html path — fused extract+geocode UDF (Arrow hot path)
-    # over a MATERIALIZED html table (the 100 TB table stores html;
-    # measuring the in-flight synth would time the generator instead).
-    html_reps = min(64, max(1, PAGES_REPS // 8))
-    html_path = f"/tmp/edk_bench_html_{os.path.basename(SF_DIR)}_{html_reps}"
-    if not os.path.exists(html_path):
-        synth_pages_df(spark, SF_DIR, reps=html_reps, partitions=128).select(
-            "page_id", "url", "html"
-        ).write.mode("overwrite").parquet(html_path)
-    html_pages = spark.read.parquet(html_path)
-
-    def _html_pipeline():
-        g = html_pages.select(
-            extract_geocode_udf(F.col("html"), F.col("url")).alias("g")
-        ).select("g.method")
-        return g.groupBy("method").count().collect()
-
-    timed("extract_geocode", _html_pipeline)
-    if "extract_geocode" in timings:
-        n_html = html_pages.count()
-        extras["extract_docs_per_sec"] = round(n_html / timings["extract_geocode"], 1)
-
     # q5: tile assignment + clip (fixture scenario, DataFrame ops)
     timed(
         "tile_assign",
@@ -227,6 +235,84 @@ def main() -> None:
         ).count(),
     )
     regrid_src.unpersist()
+
+    # q12/q13: streaming micro-benches — the ingest-time surfaces
+    # (VERDICT r2 task 6: semantics were pytest-pinned but carried no
+    # measured rate).  Streams need a DIRECTORY source; materialize
+    # replicated copies once, then time processAllAvailable().
+    from earth_data_kit_spark.streaming.windows import (
+        exact_dedup_stream,
+        tumbling_agg_stream_append,
+    )
+
+    stream_reps = int(os.environ.get("SPARK_GRAFT_STREAM_REPS", "16"))
+    ev_dir = f"/tmp/edk_bench_evstream_{os.path.basename(SF_DIR)}_{stream_reps}"
+    doc_dir = f"/tmp/edk_bench_docstream_{os.path.basename(SF_DIR)}_{stream_reps}"
+    # cast ts NTZ→LTZ at write (session tz is UTC, exact) so the
+    # TIMESTAMP stream schema reads the files without conversion errors
+    ev_batch = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    if not os.path.exists(ev_dir):
+        reduce(lambda a, b: a.union(b), [ev_batch] * stream_reps).repartition(
+            64
+        ).write.mode("overwrite").parquet(ev_dir)
+    doc_batch = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    if not os.path.exists(doc_dir):
+        # shift ids per rep so the stream carries real duplicates
+        # (same text, different id) — the state path exact dedup hits
+        reduce(
+            lambda a, b: a.union(b),
+            [
+                doc_batch.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+                for i in range(stream_reps)
+            ],
+        ).repartition(64).write.mode("overwrite").parquet(doc_dir)
+    n_ev_stream = ev_batch.count() * stream_reps
+    n_doc_stream = doc_batch.count() * stream_reps
+    _stream_seq = [0]
+
+    def _run_stream(starter):
+        _stream_seq[0] += 1
+        q = starter(f"bench_stream_{_stream_seq[0]}")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return None
+
+    # DDL strings (not batch.schema): the parquet batch read yields
+    # TIMESTAMP_NTZ for ts, which watermarks reject; the stream source
+    # reads the same files as TIMESTAMP fine.
+    ev_schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    doc_schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    timed(
+        "stream_window_append",
+        lambda: _run_stream(
+            lambda name: tumbling_agg_stream_append(
+                spark, ev_dir, ev_schema, query_name=name
+            )
+        ),
+    )
+    if "stream_window_append" in timings:
+        extras["stream_window_rows_per_sec"] = round(
+            n_ev_stream / timings["stream_window_append"], 1
+        )
+    timed(
+        "stream_dedup_exact",
+        lambda: _run_stream(
+            lambda name: exact_dedup_stream(
+                spark, doc_dir, doc_schema, query_name=name
+            )
+        ),
+    )
+    if "stream_dedup_exact" in timings:
+        extras["stream_dedup_rows_per_sec"] = round(
+            n_doc_stream / timings["stream_dedup_exact"], 1
+        )
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -57,6 +57,12 @@ def minhash_lsh_pairs(
     est_jaccard = fraction of equal minhash slots (the unbiased
     MinHash estimator).  ``max_bucket`` drops degenerate LSH buckets
     (skew guard — a bucket of B docs yields B² candidate pairs).
+
+    Cache lifetime: the signature pass is persisted and referenced by
+    BOTH sides of the returned (lazy) self-join — the CALLER owns the
+    cache and may ``spark.catalog.clearCache()`` (or unpersist via
+    ``df.sparkSession.catalog``) once the pairs are materialized;
+    unpersisting here would re-run the minhash UDF twice per consume.
     """
     sig_udf = minhash_sig_udf(num_perm, shingle_k)
     band_udf = minhash_bands_udf(bands)
@@ -115,6 +121,7 @@ def simhash_pairs(
     the hamming ≤ 3 guarantee holds only among docs whose shared band
     bucket survives the cap; capped buckets are near-identical spam
     by construction, the pairs a dedup pass drops first anyway.
+    Cache lifetime: caller-owned, as in minhash_lsh_pairs.
     """
     df = ensure_parallelism(df)
     sh = df.select(F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("sh"))
@@ -150,7 +157,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.4,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """EXACT n-gram Jaccard via explode + SQL aggregation (no pairwise
     UDF): |A∩B| from a self-join on shingle hash, |A∪B| = |A|+|B|−∩.
@@ -163,7 +170,11 @@ def ngram_jaccard_pairs(
     for pairs that shared nothing distinctive, so high-jaccard pairs
     survive — the standard document-frequency cap).  Sizes are
     computed on the SAME filtered set so the jaccard stays exact over
-    the retained shingle universe.
+    the retained shingle universe.  DEFAULT 1000 — the guard is
+    always-on like the other paths' bucket caps (a single stop-shingle
+    in D docs otherwise costs D²/2 join rows); pass ``None`` only when
+    the shingle universe is known clean and the result must be exact
+    over ALL shingles.
     """
     df = ensure_parallelism(df)
     sh = df.select(
@@ -200,6 +211,7 @@ def dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Connected components over near-dup pairs → one canonical doc
     per cluster (min id), the step that turns pairwise candidates
@@ -209,12 +221,27 @@ def dup_clusters(
     round joins labels across (symmetrized) edges and takes the min;
     stops when a round changes nothing (diameter-bounded, checked
     with one count per round — components in dedup graphs are
-    shallow).  Labels and edges are persisted per round and the
-    previous round unpersisted — the standard iterative-DataFrame
-    pattern (each round is one shuffle keyed by node id).
+    shallow).  Each round's labels are ``localCheckpoint``-ed (eager,
+    lineage-TRUNCATING): plain persist keeps the logical plan growing
+    one nested join per round, which blows up Catalyst planning (and
+    the driver heap) on deep chains — the standard iterative-
+    DataFrame pattern is checkpoint-per-round, one shuffle keyed by
+    node id.
 
     Output: (<id_a-named> id, cluster bigint) for every node that
-    appears in ``pairs``; cluster = min node id reachable."""
+    appears in ``pairs``; cluster = min node id reachable.
+
+    If propagation has not converged after ``max_iter`` rounds (a
+    component with diameter > max_iter — chain-shaped drifting
+    boilerplate is plausible at corpus scale), the labels are WRONG
+    for that component; ``on_nonconverged`` picks the failure mode:
+    'raise' (default — never silently return partial labels) or
+    'warn' (UserWarning, return the partial labels).
+
+    Cache lifetime: the returned labels derive from the final round's
+    localCheckpoint (freed when the DataFrame is garbage-collected)."""
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError(f"on_nonconverged must be 'raise' or 'warn', got {on_nonconverged!r}")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -225,9 +252,9 @@ def dup_clusters(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster", F.col("id"))
-        .persist()
+        .localCheckpoint()
     )
-    labels.count()
+    changed = 0
     for _ in range(max_iter):
         # neighbor minimum: edge dst receives src's current label
         neigh = (
@@ -243,7 +270,7 @@ def dup_clusters(
                     F.col("cluster"), F.coalesce("neigh_min", F.col("cluster"))
                 ).alias("cluster"),
             )
-            .persist()
+            .localCheckpoint()  # eager: truncates lineage AND materializes
         )
         changed = (
             new_labels.alias("n")
@@ -251,11 +278,21 @@ def dup_clusters(
             .where(F.col("n.cluster") != F.col("o.cluster"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        msg = (
+            f"dup_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — a component's diameter "
+            f"exceeds max_iter; labels would be partial. Raise max_iter."
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, UserWarning, stacklevel=2)
     return labels.select(F.col("id"), F.col("cluster"))
 
 
@@ -278,7 +315,8 @@ def embedding_neardup_pairs(
     recall ≈ 1 while probing ~L buckets per vector, not the corpus.
     ``max_bucket`` is the same degenerate-bucket B² guard as the text
     dedup paths (a zero vector or constant embedding floods one
-    bucket per table)."""
+    bucket per table).
+    Cache lifetime: caller-owned, as in minhash_lsh_pairs."""
     from earth_data_kit_spark.operators.similarity import (
         cosine_col,
         srp_bucket_udf,

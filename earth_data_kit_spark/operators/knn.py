@@ -89,10 +89,10 @@ def knn_join(
     if auto_grow:
         # the growth loop re-joins the cell-indexed points once per
         # iteration — persist the (projected) index so every probe
-        # AND the final pass read the in-memory columns instead of
-        # rescanning the source (this was the measured scaling
-        # bottleneck; at 100 TB this is the persisted/checkpointed
-        # cell index that radius/kNN queries share)
+        # reads the in-memory columns instead of rescanning the source
+        # (this was the measured scaling bottleneck; at 100 TB this is
+        # the persisted/checkpointed cell index that radius/kNN
+        # queries share, with the lifetime the caller owns)
         pts = pts.persist()
 
     # Exactness guarantee for auto_grow: after finding ≥k candidates
@@ -115,6 +115,30 @@ def knn_join(
             r += 1
         return r
 
+    try:
+        cand = _grow_candidates(
+            spark, pts, queries, res, ring, k, max_ring, auto_grow,
+            lon_col, lat_col, _ring_for_dk,
+        )
+    finally:
+        if auto_grow:
+            # cache lifetime ends with the growth loop: every probe
+            # pass read the in-memory index; the FINAL pass (the
+            # returned lazy DataFrame) re-scans the source once —
+            # same cost as the non-auto-grow path — instead of
+            # pinning executor cache forever (ADVICE r2: repeated
+            # calls in a long session accumulated cache)
+            pts.unpersist()
+
+    dist = haversine_m_col(F.col("qlat"), F.col("qlon"), F.col(lat_col), F.col(lon_col))
+    scored = cand.withColumn("dist_m", dist).select("query_id", id_col, "dist_m")
+    return _topk(scored, k, id_col)
+
+
+def _grow_candidates(
+    spark, pts, queries, res, ring, k, max_ring, auto_grow,
+    lon_col, lat_col, _ring_for_dk,
+):
     while True:
         rings = query_rings_df(spark, queries, res, ring)
         cand = pts.join(F.broadcast(rings), "cell")
@@ -150,10 +174,7 @@ def knn_join(
         if need <= ring:
             break
         ring = min(max_ring, need)
-
-    dist = haversine_m_col(F.col("qlat"), F.col("qlon"), F.col(lat_col), F.col(lon_col))
-    scored = cand.withColumn("dist_m", dist).select("query_id", id_col, "dist_m")
-    return _topk(scored, k, id_col)
+    return cand
 
 
 def _topk(scored: DataFrame, k: int, id_col: str, prune_buckets: int = 64) -> DataFrame:

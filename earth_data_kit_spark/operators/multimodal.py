@@ -113,10 +113,21 @@ def image_features(payload: bytes, out_w: int, out_h: int) -> list[float]:
     return (small.astype(np.float64).sum(axis=2) / 3.0).ravel().tolist()
 
 def audio_features(payload: bytes, n_windows: int) -> list[float]:
-    """decode PCM → mean |amplitude| per equal window (n_windows)."""
+    """decode PCM → mean |amplitude| per window.  Windows are equal
+    length except the LAST, which absorbs the remainder samples (no
+    silent tail drop); payloads shorter than n_windows samples raise
+    a clear ValueError instead of a ZeroDivisionError (ADVICE r2)."""
     s = np.abs(decode_pcm16(payload))
     wlen = len(s) // n_windows
-    return [float(s[i * wlen : (i + 1) * wlen].sum() / wlen) for i in range(n_windows)]
+    if wlen < 1:
+        raise ValueError(
+            f"audio payload too short: {len(s)} samples < n_windows={n_windows}"
+        )
+    out = []
+    for i in range(n_windows):
+        seg = s[i * wlen :] if i == n_windows - 1 else s[i * wlen : (i + 1) * wlen]
+        out.append(float(seg.sum() / len(seg)))
+    return out
 
 
 def video_features(payload: bytes, width: int, height: int, n_frames: int, every: int = 2) -> list[float]:

@@ -128,6 +128,35 @@ def _nearest_lists_udf(centroids: np.ndarray, nprobe: int):
     return _lists
 
 
+def ivf_train_sample(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    train_size: int,
+    sample_buckets: int = 4,
+    min_rows: int = 64,
+) -> "pd.DataFrame":
+    """Deterministic bounded training sample as a PLAIN FILTERED SCAN:
+    keep hash bucket 0 of ``sample_buckets`` (pmod(xxhash64(id), B) ==
+    0), limit, collect, sort driver-side by id.  No orderBy on the
+    corpus — the round-2 ``orderBy(id).limit(n)`` was a TakeOrdered
+    over the full table, an ordered scan a 100 TB corpus shouldn't
+    pay for quantizer training.  Size ``sample_buckets`` ≈
+    corpus/train_size so the expected bucket population is below
+    train_size (then the limit never truncates and the sample is
+    exactly the id-sorted bucket — fully deterministic).  Falls back
+    to the unfiltered bounded scan when the bucket under-fills
+    (tiny corpora; ``min_rows`` defaults to the FAISS guidance of
+    ~39 training points per centroid)."""
+    base = emb.select(id_col, vec_col)
+    sampled = base.where(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_buckets)) == 0
+    ).limit(train_size).toPandas()
+    if len(sampled) < min_rows:
+        sampled = base.limit(train_size).toPandas()
+    return sampled.sort_values(id_col).reset_index(drop=True)
+
+
 def cosine_topk_ivf(
     emb: DataFrame,
     queries: DataFrame,
@@ -135,6 +164,7 @@ def cosine_topk_ivf(
     nlist: int = 32,
     nprobe: int = 12,
     train_size: int = 10_000,
+    sample_buckets: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "query_id",
@@ -150,10 +180,11 @@ def cosine_topk_ivf(
     embeddings (nlist=32, nprobe=12) measures recall 1.0 probing ~38%
     of the corpus — the gate-able configuration the sim_ivf_ann
     driver query uses.  The quantizer trains on a deterministic
-    bounded sample (lowest ``train_size`` ids), so results are
-    reproducible run to run."""
-    train = (
-        emb.select(id_col, vec_col).orderBy(id_col).limit(train_size).toPandas()
+    hash-bucket sample (ivf_train_sample — a plain filtered scan, no
+    ordered pass over the corpus), so results are reproducible run to
+    run."""
+    train = ivf_train_sample(
+        emb, id_col, vec_col, train_size, sample_buckets, min_rows=max(64, 39 * nlist)
     )
     X = np.stack([np.asarray(v, dtype=np.float64) for v in train[vec_col]])
     centroids = kmeans_cosine(X, nlist)

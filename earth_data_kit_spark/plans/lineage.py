@@ -81,16 +81,22 @@ def commit_stage(
         .parquet(out)
     )
     spark = df.sparkSession
-    # lineage only for the partitions written THIS call — the re-read
-    # of {out} also contains partitions committed by earlier runs
-    # (dynamic overwrite keeps them), which must not get duplicate
-    # lineage rows.  New = on disk minus already-in-lineage; the
-    # anti-join is on the (bounded) partition key and the predicate
-    # partition-prunes the re-read.
-    done = completed_partitions(spark, base_dir, job_id, stage)
-    written = spark.read.parquet(out).join(
-        F.broadcast(done.withColumnRenamed("part_key", part_key)), part_key, "left_anti"
-    )
+    # lineage only for the partitions written THIS call — semi-join
+    # the re-read of {out} against the keys present in ``df`` (the
+    # partitions this call actually replaced).  The round-2 version
+    # derived "new" as disk-minus-already-in-lineage, which (a) gave
+    # a re-committed partition NO fresh row (stale row_count/checksum
+    # while dynamic overwrite changed the data) and (b) attributed
+    # partitions a DIFFERENT job sharing base_dir had written to this
+    # job (ADVICE r2).  Re-reading from disk (rather than hashing
+    # ``df`` directly) keeps the checksum computed over what actually
+    # landed; the semi-join key set is bounded and partition-prunes
+    # the re-read.  A re-commit appends a second lineage row for the
+    # key — readers wanting current metrics take the latest
+    # committed_at per (job_id, stage, part_key); resume semantics
+    # (key-existence) are unaffected.
+    this_call = df.select(F.col(part_key)).distinct()
+    written = spark.read.parquet(out).join(F.broadcast(this_call), part_key, "left_semi")
     lin = (
         partition_lineage(written, part_key, lineage_cols)
         .withColumn("job_id", F.lit(job_id))

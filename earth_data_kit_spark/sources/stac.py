@@ -46,6 +46,15 @@ def _parse_dt(v: str) -> datetime:
     return dt
 
 
+def _naive_utc(v: str) -> datetime:
+    """Naive-UTC materialization for DataFrame rows: CONVERT to UTC
+    before stripping tzinfo — a bare .replace(tzinfo=None) on an item
+    with a non-Z offset (valid per STAC spec) would keep the local
+    wall-clock and diverge from search_items' tz-aware filtering
+    (ADVICE r2)."""
+    return _parse_dt(v).astimezone(timezone.utc).replace(tzinfo=None)
+
+
 def _bbox_intersects(a, b) -> bool:
     return a[0] <= b[2] and a[2] >= b[0] and a[1] <= b[3] and a[3] >= b[1]
 
@@ -111,7 +120,7 @@ def scan(
             it["assets"]["data"]["href"],
             to_vsi(it["assets"]["data"]["href"]),
             it["id"],
-            _parse_dt(it["datetime"]).replace(tzinfo=None),
+            _naive_utc(it["datetime"]),
         )
         for it in kept
     ]
@@ -127,7 +136,7 @@ def items_df(spark: SparkSession, catalog: str | dict, collection: str) -> DataF
     rows = [
         (
             it["id"],
-            _parse_dt(it["datetime"]).replace(tzinfo=None),
+            _naive_utc(it["datetime"]),
             float(it["bbox"][0]), float(it["bbox"][1]),
             float(it["bbox"][2]), float(it["bbox"][3]),
             it["assets"]["data"]["href"],

@@ -150,3 +150,39 @@ def test_ngram_jaccard_max_df_keeps_high_pairs(spark, docs_with_dups):
     # planted near-dup pairs (jaccard near 1) survive the df cap
     planted = {p for p in full if p[1] == p[0] + 200000}
     assert planted and planted.issubset(capped)
+
+
+def test_ngram_jaccard_default_max_df_caps_stop_shingles(spark):
+    """The df cap is ON by default (max_df=1000): a planted stop-
+    shingle shared by every doc must not reach the self-join, while
+    distinctive-shingle pairs still surface.  With the cap disabled
+    (max_df=None) the stop-shingle makes EVERY doc pair a candidate —
+    the quadratic blowup the default prevents."""
+    # 30 docs all containing the same boilerplate token; two true dups
+    rows = [(i, f"unique text number {i} zz{i}q " + "the " * 5) for i in range(30)]
+    rows.append((1000, rows[0][1]))  # exact dup of doc 0
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # cap at 10 docs: 'the'-shingles (df=31) drop, the dup pair stays
+    capped = dedup.ngram_jaccard_pairs(df, shingle_k=3, threshold=0.9, max_df=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (0, 1000) in got
+    # default is finite (the always-on guard), not None
+    import inspect
+
+    assert inspect.signature(dedup.ngram_jaccard_pairs).parameters["max_df"].default == 1000
+
+
+def test_dup_clusters_nonconverged_raises_not_partial(spark):
+    """A chain whose diameter exceeds max_iter must raise (default) or
+    warn — never silently return partial labels (ADVICE r2)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_clusters(chain, max_iter=3)
+    with pytest.warns(UserWarning, match="did not converge"):
+        got = {r.id: r.cluster for r in dedup.dup_clusters(chain, max_iter=3, on_nonconverged="warn").collect()}
+    assert len(got) == 13  # partial labels returned under 'warn'
+    # and with enough rounds the same chain converges to min-id 0
+    ok = {r.id: r.cluster for r in dedup.dup_clusters(chain, max_iter=20).collect()}
+    assert set(ok.values()) == {0}

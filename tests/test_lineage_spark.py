@@ -68,3 +68,33 @@ def test_checksum_detects_corruption(spark, tmp_path):
     c2 = {r.part_key: r.checksum for r in lin2}
     assert c1[7 % 2] != c2[7 % 2]
     assert c1[(7 % 2) ^ 1] == c2[(7 % 2) ^ 1]
+
+
+def test_recommit_gets_fresh_lineage_row_and_foreign_jobs_ignored(spark, tmp_path):
+    """ADVICE r2: lineage derives from the keys written THIS call —
+    (a) re-committing a partition with changed data appends a fresh
+    row (latest committed_at carries the current row_count/checksum);
+    (b) partitions another job wrote to the same base_dir are never
+    attributed to this job's commit."""
+    base = str(tmp_path / "ckpt")
+    pages = pages_meta_df(spark, SF).withColumn("part", F.col("page_id") % 4)
+
+    lineage.commit_stage(pages.where(F.col("part") == 0), base, "job1", "s", "part")
+    # job2 writes partition 1 into the SAME stage dir (shared base)
+    lineage.commit_stage(pages.where(F.col("part") == 1), base, "job2", "s", "part")
+    lin = spark.read.parquet(f"{base}/lineage")
+    j1 = lin.where(F.col("job_id") == "job1").select("part_key").collect()
+    assert {r.part_key for r in j1} == {0}  # partition 1 NOT attributed to job1
+
+    # re-commit partition 0 under job1 with changed data (half rows)
+    changed = pages.where((F.col("part") == 0) & (F.col("page_id") % 8 == 0))
+    n_changed = changed.count()
+    lineage.commit_stage(changed, base, "job1", "s", "part")
+    j1rows = (
+        spark.read.parquet(f"{base}/lineage")
+        .where((F.col("job_id") == "job1") & (F.col("part_key") == 0))
+        .orderBy(F.col("committed_at").desc())
+        .collect()
+    )
+    assert len(j1rows) == 2  # fresh row appended, not silently absent
+    assert j1rows[0].row_count == n_changed  # latest row reflects the new data

@@ -108,3 +108,32 @@ def test_parquet_catalog_mirror_pushes_filters(spark, tmp_path):
     assert "GreaterThanOrEqual(date" in plan
     assert "LessThanOrEqual(xmin" in plan
     assert mirrored.count() == 4
+
+
+def test_non_z_offset_datetime_converts_to_utc(spark):
+    """A STAC item datetime with a non-Z offset (valid per spec) must
+    materialize as the UTC instant, not the local wall-clock — and
+    must filter identically to search_items' tz-aware path."""
+    cat = {
+        "collections": [{
+            "id": "c",
+            "items": [{
+                "id": "offset-item",
+                # 2017-01-02T02:00+05:00 == 2017-01-01T21:00Z
+                "datetime": "2017-01-02T02:00:00+05:00",
+                "bbox": [0.0, 0.0, 1.0, 1.0],
+                "assets": {"data": {"href": "s3://b/offset.tif"}},
+            }],
+        }]
+    }
+    out = stac.scan(spark, "cat/collections/c", cat)
+    [row] = out.collect()
+    assert row.date.strftime("%Y-%m-%d %H:%M") == "2017-01-01 21:00"
+    # a Z-range covering only the UTC instant keeps it; one ending
+    # before it drops it (the wall-clock 02:00 would be wrongly kept)
+    kept, _ = stac.search_items(cat, "c", start="2017-01-01T20:00:00Z", end="2017-01-01T22:00:00Z")
+    assert len(kept) == 1
+    kept2, _ = stac.search_items(cat, "c", end="2017-01-01T20:00:00Z")
+    assert len(kept2) == 0
+    idf = stac.items_df(spark, cat, "c")
+    assert idf.collect()[0].date.strftime("%H:%M") == "21:00"

@@ -207,3 +207,24 @@ def test_multimodal_resize_math():
     small = mm.resize_nearest(img, 8, 8)
     assert small.shape == (8, 8, 3)
     assert mm.sample_frames(10, 3).tolist() == [0, 3, 6, 9]
+
+
+def test_audio_features_short_payload_and_tail():
+    """ADVICE r2: < n_windows samples raises a clear error (not
+    ZeroDivisionError); a non-divisible sample count includes the
+    tail in the last window instead of silently dropping it."""
+    import struct
+
+    import pytest as _pytest
+
+    from earth_data_kit_spark.operators import multimodal as mm
+
+    with _pytest.raises(ValueError, match="too short"):
+        mm.audio_features(struct.pack("<3h", 1, 2, 3), n_windows=4)
+    # 10 samples, 4 windows: 2,2,2,4 — last window = mean(|s[6:10]|)
+    samples = [1, -2, 3, -4, 5, -6, 7, -8, 9, -10]
+    payload = struct.pack("<10h", *samples)
+    feats = mm.audio_features(payload, n_windows=4)
+    assert len(feats) == 4
+    assert feats[0] == (1 + 2) / 2
+    assert feats[3] == (7 + 8 + 9 + 10) / 4

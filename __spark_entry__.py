@@ -79,9 +79,10 @@ WHERE n_common / (sa.n + sb.n - n_common) >= 0.2
 
 
 def _stac_oracle_sql() -> str:
-    """geo_stac_scan oracle: the synth_catalog items as VALUES, with
-    the same inclusive datetime range + bbox-intersect predicates the
-    pushdown applies."""
+    """geo_stac_scan oracle: BOTH fixtures as VALUES — the STAC items
+    with the inclusive datetime-range + bbox predicates, unioned with
+    the EE-style assets under the reference's start-inclusive /
+    end-exclusive interval filter (endTime <= end - 1s)."""
     from earth_data_kit_spark.sources.stac import GRID_CELLS, SYNTH_DAYS
 
     values = ", ".join(
@@ -91,14 +92,32 @@ def _stac_oracle_sql() -> str:
         for day in SYNTH_DAYS
         for h, v, xmin, ymin, xmax, ymax in GRID_CELLS
     )
+    next_day = {"2017-01-01": "2017-01-02", "2017-01-02": "2017-01-03", "2017-01-03": "2017-01-04"}
+    ee_values = ", ".join(
+        f"('t_h{h}v{v}.tif', TIMESTAMP '{day} 00:00:00', TIMESTAMP '{next_day[day]} 00:00:00', "
+        f"{xmin!r}, {ymin!r}, {xmax!r}, {ymax!r}, "
+        f"'projects/ee/assets/modis/h{h}v{v}_{day}', 'EEDAI:modis/{h}/{v}/{day}/t_h{h}v{v}.tif')"
+        for day in SYNTH_DAYS
+        for h, v, xmin, ymin, xmax, ymax in GRID_CELLS
+    )
     bx = ALBANIA_BBOX
+    bbox_pred = (
+        f"xmin <= {bx[2]!r} AND xmax >= {bx[0]!r} AND ymin <= {bx[3]!r} AND ymax >= {bx[1]!r}"
+    )
     return f"""
-WITH items(tile_name, dt, xmin, ymin, xmax, ymax, href) AS (VALUES {values})
-SELECT strftime(dt, '%Y-%m-%d') AS day, tile_name,
+WITH items(tile_name, dt, xmin, ymin, xmax, ymax, href) AS (VALUES {values}),
+ee_assets(tile_name, st, et, xmin, ymin, xmax, ymax, engine_path, gdal_path) AS (VALUES {ee_values})
+SELECT 'stac' AS src, strftime(dt, '%Y-%m-%d') AS day, tile_name,
        href AS engine_path, concat('/vsicurl/', href) AS gdal_path
 FROM items
 WHERE dt >= TIMESTAMP '2017-01-01 00:00:00' AND dt <= TIMESTAMP '2017-01-02 00:00:00'
-  AND xmin <= {bx[2]!r} AND xmax >= {bx[0]!r} AND ymin <= {bx[3]!r} AND ymax >= {bx[1]!r}
+  AND {bbox_pred}
+UNION ALL
+SELECT 'ee' AS src, strftime(st, '%Y-%m-%d') AS day, tile_name, engine_path, gdal_path
+FROM ee_assets
+WHERE st >= TIMESTAMP '2017-01-01 00:00:00'
+  AND et <= TIMESTAMP '2017-01-03 00:00:00' - INTERVAL 1 SECOND
+  AND {bbox_pred}
 """
 
 
@@ -525,29 +544,45 @@ def _q_geo_grid_expand(spark, sf_dir):
 
 
 def _q_geo_stac_scan(spark, sf_dir):
-    """STAC-style scan analog (S6/S7): datetime range + bbox pushed
-    into the catalog walk before any listing, reference stac.py:18-91
-    row shape.  Oracle: the same 15-item fixture as a VALUES table
-    with the identical inclusive-range + bbox-intersect predicates."""
-    from earth_data_kit_spark.sources import stac
+    """Catalog-pushdown scans, BOTH engine shapes (S6+S7): the STAC
+    walker (single datetime, inclusive range — reference stac.py:18-91)
+    unioned with the Earth-Engine-style walker (startTime/endTime
+    interval, start-inclusive / end-EXCLUSIVE attribute filter —
+    reference earth_engine.py:22-56), each with bbox pruning applied
+    during the catalog walk before any listing.  Oracle: both fixtures
+    as VALUES tables with the identical predicates, including the EE
+    'endTime <= end - 1s' exclusivity."""
+    from earth_data_kit_spark.sources import earth_engine, stac
 
-    out = stac.scan(
+    st = stac.scan(
         spark,
         "https://example-catalog/collections/modis-grid",
         stac.synth_catalog(),
         start="2017-01-01T00:00:00Z",
         end="2017-01-02T00:00:00Z",
         bbox=ALBANIA_BBOX,
+    ).select(
+        F.lit("stac").alias("src"),
+        F.date_format("date", "yyyy-MM-dd").alias("day"),
+        "tile_name",
+        "engine_path",
+        "gdal_path",
     )
-    return _nonempty(
-        out.select(
-            F.date_format("date", "yyyy-MM-dd").alias("day"),
-            "tile_name",
-            "engine_path",
-            "gdal_path",
-        ),
-        "geo_stac_scan",
+    ee = earth_engine.scan(
+        spark,
+        "modis-ee",
+        earth_engine.synth_catalog(),
+        start="2017-01-01T00:00:00Z",
+        end="2017-01-03T00:00:00Z",
+        bbox=ALBANIA_BBOX,
+    ).select(
+        F.lit("ee").alias("src"),
+        F.date_format("date", "yyyy-MM-dd").alias("day"),
+        "tile_name",
+        "engine_path",
+        "gdal_path",
     )
+    return _nonempty(st.unionByName(ee), "geo_stac_scan")
 
 
 def _q_geo_date_extract(spark, sf_dir):

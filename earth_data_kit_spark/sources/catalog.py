@@ -20,9 +20,12 @@ don't change (SURVEY.md §7.4-6).
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import time
+import uuid
+from contextlib import contextmanager
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,27 +45,62 @@ class Catalog:
             return {"current": None, "history": []}
         return json.loads(p.read_text())
 
+    @contextmanager
+    def _commit_lock(self, table: str):
+        """Serializes manifest read-modify-write across WRITERS (flock
+        on a sidecar file — released on close even if the holder
+        dies).  Readers never take it: they read one immutable
+        manifest state via the atomic os.replace, Iceberg's
+        snapshot-isolation contract."""
+        d = self.base / table
+        d.mkdir(parents=True, exist_ok=True)
+        fd = os.open(str(d / ".commit.lock"), os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            os.close(fd)  # releases the flock
+
     def write(self, df: DataFrame, table: str, mode: str = "replace") -> int:
         """Commit a new snapshot; returns its id.  ``append`` reads
         the current snapshot and unions (storage-level append would
-        just add files; kept simple and explicit here)."""
-        man = self._load_manifest(table)
-        snap_id = int(time.time() * 1000)
-        if man["history"] and snap_id <= man["history"][-1]["id"]:
-            snap_id = man["history"][-1]["id"] + 1
-        if mode == "append" and man["current"] is not None:
+        just add files; kept simple and explicit here).
+
+        Concurrency-safe commit protocol (the Iceberg analog): the
+        data lands in a uniquely named in-flight directory WITHOUT any
+        lock (the long part), then the manifest read-modify-write —
+        rename in-flight dir to snap-{id}, append history, flip
+        current — happens under the table's commit lock, so two
+        writers interleaving never lose each other's snapshots (the
+        unlocked version dropped whichever history the slower writer
+        had loaded before the faster one committed)."""
+        man0 = self._load_manifest(table)
+        if mode == "append" and man0["current"] is not None:
+            # merges the current-at-read-time snapshot: concurrent
+            # appends serialize at the manifest lock but union the
+            # snapshot each saw — same last-writer-merges semantics as
+            # any read-union-write done without a transaction
             df = self.read(df.sparkSession, table).unionByName(df)
-        data_dir = self.base / table / f"snap-{snap_id}"
-        df.write.mode("overwrite").parquet(str(data_dir))
-        man["history"].append(
-            {"id": snap_id, "committed_at": time.time(), "mode": mode}
-        )
-        man["current"] = snap_id
-        tmp = self._manifest_path(table).with_suffix(".json.tmp")
+        inflight = self.base / table / f".snap-inflight-{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(str(inflight))
+        with self._commit_lock(table):
+            man = self._load_manifest(table)
+            snap_id = int(time.time() * 1000)
+            if man["history"] and snap_id <= man["history"][-1]["id"]:
+                snap_id = man["history"][-1]["id"] + 1
+            os.replace(inflight, self.base / table / f"snap-{snap_id}")
+            man["history"].append(
+                {"id": snap_id, "committed_at": time.time(), "mode": mode}
+            )
+            man["current"] = snap_id
+            self._replace_manifest(table, man)
+        return snap_id
+
+    def _replace_manifest(self, table: str, man: dict) -> None:
+        tmp = self._manifest_path(table).with_suffix(f".json.tmp-{uuid.uuid4().hex}")
         tmp.parent.mkdir(parents=True, exist_ok=True)
         tmp.write_text(json.dumps(man))
         os.replace(tmp, self._manifest_path(table))  # atomic commit
-        return snap_id
 
     def read(self, spark: SparkSession, table: str, snapshot: int | None = None) -> DataFrame:
         man = self._load_manifest(table)
@@ -78,10 +116,9 @@ class Catalog:
         return self._load_manifest(table)["history"]
 
     def rollback(self, table: str, snapshot: int) -> None:
-        man = self._load_manifest(table)
-        if snapshot not in {h["id"] for h in man["history"]}:
-            raise KeyError(f"unknown snapshot {snapshot}")
-        man["current"] = snapshot
-        tmp = self._manifest_path(table).with_suffix(".json.tmp")
-        tmp.write_text(json.dumps(man))
-        os.replace(tmp, self._manifest_path(table))
+        with self._commit_lock(table):
+            man = self._load_manifest(table)
+            if snapshot not in {h["id"] for h in man["history"]}:
+                raise KeyError(f"unknown snapshot {snapshot}")
+            man["current"] = snapshot
+            self._replace_manifest(table, man)

@@ -115,3 +115,44 @@ def test_catalog_append_and_errors(spark, tmp_path):
     assert cat.read(spark, "t", snapshot=s1).count() == 3
     with pytest.raises(KeyError):
         cat.read(spark, "t", snapshot=12345)
+
+
+def test_catalog_concurrent_writers_lose_no_snapshots(spark, tmp_path):
+    """Two 'sessions' (independent Catalog instances over the same
+    base_dir) committing interleaved must both land in history, the
+    current pointer must be the LAST committer, and a reader pinned to
+    an earlier snapshot must keep seeing exactly its rows (snapshot
+    isolation).  The unlocked manifest read-modify-write lost the
+    slower writer's history entry (VERDICT r2 task 7)."""
+    import threading
+
+    base = str(tmp_path / "ccat")
+    c1, c2 = Catalog(base), Catalog(base)
+    df_a = spark.range(10).withColumnRenamed("id", "v")
+    df_b = spark.range(20, 25).withColumnRenamed("id", "v")
+
+    s1 = c1.write(df_a, "t")
+    s2 = c2.write(df_b, "t")
+    hist = [h["id"] for h in c1.history("t")]
+    assert hist == [s1, s2]
+    assert c1.read(spark, "t", snapshot=s1).count() == 10  # isolation
+    assert c2.read(spark, "t").count() == 5  # current = last committer
+
+    # hammer: 6 threads × independent instances, all snapshots survive
+    ids, errs = [], []
+
+    def commit(i):
+        try:
+            ids.append(Catalog(base).write(spark.range(i, i + 1), "hammer"))
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    threads = [threading.Thread(target=commit, args=(i,)) for i in range(6)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert not errs
+    got = [h["id"] for h in c1.history("hammer")]
+    assert sorted(ids) == sorted(got) and len(set(got)) == 6
+    # every snapshot readable and distinct
+    vals = {Catalog(base).read(spark, "hammer", snapshot=s).collect()[0][0] for s in got}
+    assert vals == set(range(6))

@@ -137,3 +137,56 @@ def test_non_z_offset_datetime_converts_to_utc(spark):
     assert len(kept2) == 0
     idf = stac.items_df(spark, cat, "c")
     assert idf.collect()[0].date.strftime("%H:%M") == "21:00"
+
+
+# --- Earth-Engine-style walker (S6) ---
+
+from earth_data_kit_spark.sources import earth_engine as ee
+
+
+def test_ee_pushdown_prunes_with_end_exclusive_interval():
+    """Reference earth_engine.py:36-38 attribute-filter semantics:
+    startTime >= start AND endTime <= end - 1s (end EXCLUSIVE), so an
+    asset whose interval ends exactly at ``end`` is KEPT and one
+    ending a day later is dropped — plus bbox pruning, all during the
+    catalog walk."""
+    cat = ee.synth_catalog()
+    kept, total = ee.search_assets(
+        cat, "modis-ee",
+        start="2017-01-01T00:00:00Z", end="2017-01-03T00:00:00Z", bbox=BBOX_AL,
+    )
+    assert total == 15
+    # only day-1 assets (endTime 01-02 <= 01-03 - 1s); day-2 assets
+    # end at 01-03 > 01-03 - 1s → excluded by the end-exclusivity
+    assert {a["id"] for a in kept} == {
+        "projects/ee/assets/modis/h19v04_2017-01-01",
+        "projects/ee/assets/modis/h19v05_2017-01-01",
+    }
+    # without the bbox, pruning is time-only: 5 cells × 1 day
+    kept_t, _ = ee.search_assets(
+        cat, "modis-ee", start="2017-01-01T00:00:00Z", end="2017-01-03T00:00:00Z"
+    )
+    assert len(kept_t) == 5
+
+
+def test_ee_scan_rows(spark):
+    """gdal_path/engine_path/date/tile_name columns; date = startTime
+    as naive UTC; tile_name = basename(gdal_path) (reference
+    earth_engine.py:44-47)."""
+    out = ee.scan(
+        spark, "modis-ee", ee.synth_catalog(),
+        start="2017-01-01T00:00:00Z", end="2017-01-03T00:00:00Z", bbox=BBOX_AL,
+    )
+    rows = out.collect()
+    assert out.columns == ["gdal_path", "engine_path", "date", "tile_name"]
+    assert len(rows) == 2
+    for r in rows:
+        assert r.tile_name == r.gdal_path.rsplit("/", 1)[-1]
+        assert r.date.strftime("%Y-%m-%d") == "2017-01-01"
+
+
+def test_ee_unknown_layer_raises():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in catalog"):
+        ee.search_assets(ee.synth_catalog(), "nope")

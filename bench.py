@@ -63,13 +63,17 @@ def main() -> None:
             return None
         # steady-state: best of N runs — the first run pays one-time
         # costs (page cache, broadcast build, python worker spin-up)
-        # that a long-lived job amortizes.  A GC barrier before each
-        # run isolates queries from the previous query's heap debris
-        # (r2 measured extract_geocode 1.55× slower on an unchanged
-        # workload purely from running after the ×16-scan queries).
+        # that a long-lived job amortizes.  Optional GC barrier
+        # (default OFF): a forced full GC also fires Spark's
+        # weak-ref ContextCleaner, dropping reusable shuffle files —
+        # measured SLOWER in-suite (hot_cell_salted 8-17 s vs 4.5 s
+        # isolated); query isolation comes from the run ORDER instead
+        # (extract_geocode before the ×16-scan queries).
+        gc_barrier = os.environ.get("SPARK_GRAFT_BENCH_GC", "0") == "1"
         best, out = None, None
         for _ in range(runs):
-            spark.sparkContext._jvm.System.gc()
+            if gc_barrier:
+                spark.sparkContext._jvm.System.gc()
             t0 = time.time()
             out = fn()
             dt = time.time() - t0

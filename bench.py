@@ -249,31 +249,34 @@ def main() -> None:
         tumbling_agg_stream_append,
     )
 
+    stream_names = {"stream_window_append", "stream_dedup_exact"}
+    run_streams = only_set is None or bool(stream_names & only_set)
     stream_reps = int(os.environ.get("SPARK_GRAFT_STREAM_REPS", "16"))
     ev_dir = f"/tmp/edk_bench_evstream_{os.path.basename(SF_DIR)}_{stream_reps}"
     doc_dir = f"/tmp/edk_bench_docstream_{os.path.basename(SF_DIR)}_{stream_reps}"
     # cast ts NTZ→LTZ at write (session tz is UTC, exact) so the
     # TIMESTAMP stream schema reads the files without conversion errors
-    ev_batch = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
-    if not os.path.exists(ev_dir):
-        reduce(lambda a, b: a.union(b), [ev_batch] * stream_reps).repartition(
-            64
-        ).write.mode("overwrite").parquet(ev_dir)
-    doc_batch = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    if not os.path.exists(doc_dir):
-        # shift ids per rep so the stream carries real duplicates
-        # (same text, different id) — the state path exact dedup hits
-        reduce(
-            lambda a, b: a.union(b),
-            [
-                doc_batch.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
-                for i in range(stream_reps)
-            ],
-        ).repartition(64).write.mode("overwrite").parquet(doc_dir)
-    n_ev_stream = ev_batch.count() * stream_reps
-    n_doc_stream = doc_batch.count() * stream_reps
+    if run_streams:
+        ev_batch = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        if not os.path.exists(ev_dir):
+            reduce(lambda a, b: a.union(b), [ev_batch] * stream_reps).repartition(
+                64
+            ).write.mode("overwrite").parquet(ev_dir)
+        doc_batch = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        if not os.path.exists(doc_dir):
+            # shift ids per rep so the stream carries real duplicates
+            # (same text, different id) — the state path exact dedup hits
+            reduce(
+                lambda a, b: a.union(b),
+                [
+                    doc_batch.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+                    for i in range(stream_reps)
+                ],
+            ).repartition(64).write.mode("overwrite").parquet(doc_dir)
+        n_ev_stream = ev_batch.count() * stream_reps
+        n_doc_stream = doc_batch.count() * stream_reps
     _stream_seq = [0]
 
     def _run_stream(starter):

@@ -43,17 +43,39 @@ run_level () {  # cores [runs]
     SPARK_GRAFT_BENCH_RUNS=$runs python bench.py 2>/dev/null | tail -1
 }
 
-J2=$(run_level 2 2);  J8=$(run_level 8 2)
+# INTERLEAVED level windows (2,8,2,8): the sandbox VM's delivered CPU
+# drifts between windows, so running each level's passes in one
+# contiguous window lets drift masquerade as (anti-)scaling — a run
+# where the 8-core window was slow measured 0.70 while the SAME
+# hardware calibrated 1.04.  Alternating pairs cancels the drift;
+# per-level best across both windows is reported, plus both pairwise
+# efficiencies for transparency.
+J2a=$(run_level 2 1); J8a=$(run_level 8 1)
+J2b=$(run_level 2 1); J8b=$(run_level 8 1)
 J32=$(run_level 32 2)
 
-python3 - "$J2" "$J8" "$J32" "$SF_DIR" "$REPS" "$CAL" <<'EOF'
+python3 - "$J2a" "$J8a" "$J2b" "$J8b" "$J32" "$SF_DIR" "$REPS" "$CAL" <<'EOF'
 import json, sys, datetime
-j2, j8, j32 = (json.loads(a) for a in sys.argv[1:4])
-sf_dir, reps, cal = sys.argv[4], sys.argv[5], json.loads(sys.argv[6])
+j2a, j8a, j2b, j8b, j32 = (json.loads(a) for a in sys.argv[1:6])
+sf_dir, reps, cal = sys.argv[6], sys.argv[7], json.loads(sys.argv[8])
 
 def thru(j):
     return j["pip_join_docs_per_sec"]
 
+def best(a, b):
+    """Per-level best by north-metric throughput."""
+    out = dict(a if thru(a) >= thru(b) else b)
+    # per-query best wall (each query independently best-of windows)
+    out["queries"] = {
+        k: min(a["queries"][k], b["queries"][k]) for k in a["queries"]
+    }
+    out["pip_join_docs_per_sec"] = max(thru(a), thru(b))
+    out["extract_docs_per_sec"] = max(a["extract_docs_per_sec"], b["extract_docs_per_sec"])
+    return out
+
+j2, j8 = best(j2a, j2b), best(j8a, j8b)
+eff_a = (thru(j8a) / thru(j2a)) / 4.0
+eff_b = (thru(j8b) / thru(j2b)) / 4.0
 eff = (thru(j8) / thru(j2)) / 4.0
 cal28 = (cal["8"] / cal["2"]) / 4.0
 eff832 = (thru(j32) / thru(j8)) / 4.0
@@ -66,9 +88,11 @@ North-metric job (cell-prefilter broadcast spatial join + kNN + tile
 assignment) on the synthetic pages table ({sf_dir}, reps={reps} →
 {j2['pages_rows']:,} stored pages, spatial join scans ×16 self-union =
 {j2.get('pip_join_docs', 0):,} docs/pass).  Fresh JVM per run,
-taskset-pinned to exactly N cores, Python workers pre-warmed, best of
-2 passes per level.  Confs: shuffle.partitions
-= cores, AQE on, broadcast threshold 64 MB (session.py).
+taskset-pinned to exactly N cores, Python workers pre-warmed,
+INTERLEAVED level windows (2,8,2,8 — VM drift between contiguous
+windows otherwise masquerades as scaling), per-level best of the two
+windows.  Confs: shuffle.partitions = cores, AQE on, broadcast
+threshold 64 MB (session.py).
 
 Hardware calibration (N pinned busy-loop processes, aggregate
 iterations/2s): {json.dumps(cal)} — 8→32 raw-CPU efficiency is only
@@ -83,13 +107,16 @@ iterations/2s): {json.dumps(cal)} — 8→32 raw-CPU efficiency is only
 
 - **spatial-join throughput scaling efficiency (N=2 → 4N=8): {eff:.3f}**
   (north_rule criterion >= 0.8 {'MET' if eff >= 0.8 else 'NOT MET'});
-  hardware delivered {cal28:.2f} in the same window → engine/hardware
+  pairwise (same-window) efficiencies: {eff_a:.3f} and {eff_b:.3f};
+  hardware calibration {cal28:.2f} → engine/hardware
   ratio {eff / cal28:.3f}
 - kNN wall-clock efficiency 2→8: {knn_eff:.3f}
 - extract+geocode (fused Arrow UDF) efficiency 2→8: {(j8['extract_docs_per_sec']/j2['extract_docs_per_sec'])/4:.3f}
 - 8→32 efficiency: {eff832:.3f} (hardware ceiling {cal832:.2f})
-- raw JSON @2: {json.dumps(j2)}
-- raw JSON @8: {json.dumps(j8)}
+- raw JSON @2 window A: {json.dumps(j2a)}
+- raw JSON @8 window A: {json.dumps(j8a)}
+- raw JSON @2 window B: {json.dumps(j2b)}
+- raw JSON @8 window B: {json.dumps(j8b)}
 - raw JSON @32: {json.dumps(j32)}
 """
 with open("BENCH/BASELINE.md", "a") as f:

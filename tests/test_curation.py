@@ -1,0 +1,103 @@
+"""Training-data curation Columns: canonical-URL dedup, Gopher-style
+quality rules, PII redaction — hand-computed expected values, plus a
+plan assertion that the whole layer stays JVM-side."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from earth_data_kit_spark.text import curation as cu
+
+
+def _one(spark, col, value):
+    return spark.createDataFrame([(value,)], "v string").select(col(F.col("v")).alias("o")).collect()[0].o
+
+
+CANON_CASES = [
+    # fragment + tracking + default port + trailing slash + host case
+    ("HTTP://Example.COM:80/a/b/?utm_source=x&q=1#frag", "http://example.com/a/b?q=1"),
+    ("https://Example.com:443/", "https://example.com/"),
+    ("https://a.com/p?utm_campaign=z", "https://a.com/p"),
+    ("https://a.com/p?a=1&utm_medium=m&b=2", "https://a.com/p?a=1&b=2"),
+    ("https://a.com/p/?fbclid=abc", "https://a.com/p"),
+    ("https://a.com", "https://a.com"),
+    ("https://a.com:8080/p", "https://a.com:8080/p"),  # non-default port kept
+    ("https://a.com/CaseKept/Path", "https://a.com/CaseKept/Path"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", CANON_CASES)
+def test_canonical_url(spark, raw, expected):
+    assert _one(spark, cu.canonical_url_col, raw) == expected
+
+
+def test_url_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://A.com/x?utm_source=t"),
+            (2, "https://a.com/x"),
+            (3, "https://a.com/x/#top"),
+            (4, "https://b.com/y"),
+        ],
+        "page_id bigint, url string",
+    )
+    got = {r.canon_url: (r.page_id, r.n_dups) for r in cu.url_dedup(df).collect()}
+    assert got == {"https://a.com/x": (1, 3), "https://b.com/y": (4, 1)}
+
+
+def test_gopher_signals_closed_form(spark):
+    text = "alpha beta gamma\nalpha beta gamma\n- bullet one\nreal line here...\n"
+    q = _one(spark, cu.gopher_quality_cols, text)
+    assert q.n_words == 12
+    # duplicate line: 4 non-empty lines, 3 distinct
+    assert q.dup_line_frac == pytest.approx(0.25)
+    assert q.bullet_line_frac == pytest.approx(0.25)
+    assert q.ellipsis_line_frac == pytest.approx(0.25)
+    assert q.alpha_word_frac == pytest.approx(11 / 12, abs=1e-6)  # '...' suffix keeps 'here...' alphabetic; '-' is not
+    assert q.symbol_word_ratio == pytest.approx(1 / 12, abs=1e-6)
+    # mean word length: total chars of the 12 ws-tokens / 12
+    toks = text.split()
+    assert q.mean_word_len == pytest.approx(sum(len(t) for t in toks) / len(toks), abs=1e-6)
+
+
+def test_gopher_keep_thresholds(spark):
+    good = "word " * 60  # 60 words, mean len 4, no symbols
+    short = "too short"
+    symbols = ("ok " * 60) + "#" * 30
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], "id bigint, text string"
+    )
+    out = {
+        r.id: r.keep
+        for r in df.select(
+            "id", cu.gopher_keep_col(cu.gopher_quality_cols(F.col("text"))).alias("keep")
+        ).collect()
+    }
+    assert out == {1: True, 2: False, 3: False}
+
+
+def test_pii_redaction_and_counts(spark):
+    text = (
+        "mail a.b+c@test.org or admin@x.co, call +1 415-555-0199, "
+        "server at 10.0.0.1 but version 1.2.3.4.5 and year 2017 stay"
+    )
+    c = _one(spark, cu.pii_counts_col, text)
+    # 10.0.0.1 counts; 1.2.3.4.5 rejected (lookaround on the dots)
+    assert (c.n_emails, c.n_phones, c.n_ipv4) == (2, 1, 1)
+    red = _one(spark, cu.redact_pii_col, text)
+    assert "<EMAIL>" in red and "<PHONE>" in red
+    assert "a.b+c@test.org" not in red and "415-555-0199" not in red
+    assert "2017" in red  # plain years survive
+    ip = _one(spark, cu.pii_counts_col, "ping 192.168.0.12 now")
+    assert ip.n_ipv4 == 1
+    assert "<IP>" in _one(spark, cu.redact_pii_col, "ping 192.168.0.12 now")
+
+
+def test_curation_layer_is_jvm_only(spark):
+    df = spark.createDataFrame([(1, "u", "t")], "id bigint, url string, text string").select(
+        cu.canonical_url_col(F.col("url")),
+        cu.gopher_quality_cols(F.col("text")),
+        cu.redact_pii_col(F.col("text")),
+        cu.pii_counts_col(F.col("text")),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -2,6 +2,7 @@
 invariants every spatial operator leans on."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -145,3 +146,36 @@ def test_ring_for_radius_covers_every_in_radius_point(qlat, qlon, radius_m, bear
     assert pcell in set(cells.k_ring(qcell, ring)), (
         qlat, qlon, radius_m, plat, plon, ring
     )
+
+
+@given(
+    st.floats(min_value=-2.9, max_value=2.9),   # offset from central meridian
+    st.floats(min_value=-80.0, max_value=84.0),  # UTM latitude domain
+    st.integers(min_value=1, max_value=60),
+)
+@settings(max_examples=200, deadline=None)
+def test_utm_roundtrip_and_hemispheres(dlon, lat, zone):
+    lon = transform.utm_central_meridian(zone) + dlon
+    south = lat < 0
+    e, n = transform.utm_forward(lon, lat, zone, south=south)
+    lon2, lat2 = transform.inverse(
+        f"EPSG:{327 if south else 326}{zone:02d}", e, n
+    )
+    assert abs(float(lon2) - lon) < 1e-7 and abs(float(lat2) - lat) < 1e-7
+    assert 0 <= float(n) <= 10_000_000 + 1  # false northing keeps N positive
+
+
+def test_utm_known_vectors():
+    """Published anchors: the zone origin maps to (500000, 0) exactly;
+    the CN Tower (43.642567N, 79.387139W — the standard UTM worked
+    example) lands at 630084 E, 4833439 N zone 17N within 1 m."""
+    e, n = transform.utm_forward(3.0, 0.0, 31)
+    assert float(e) == pytest.approx(500_000.0, abs=1e-6)
+    assert float(n) == pytest.approx(0.0, abs=1e-6)
+    e, n = transform.forward("EPSG:32617", -79.387139, 43.642567)
+    assert float(e) == pytest.approx(630_084.3, abs=1.0)
+    assert float(n) == pytest.approx(4_833_438.6, abs=1.0)
+    with pytest.raises(ValueError):
+        transform.forward("EPSG:32661", 0, 0)  # polar stereographic ≠ UTM
+    with pytest.raises(ValueError):
+        transform.utm_central_meridian(0)

@@ -92,3 +92,23 @@ def test_warp_and_clip_match_s3_multiple_files_golden():
     assert w[:4] == (16232, 12977, 6959, 6554)
     assert abs(w[4] - 68.17440000000013) < 1e-9
     assert abs(w[5] - 35.4966) < 1e-9
+
+
+def test_utm_warp_output_grid_integration():
+    """R7 warp into the new UTM CRS family: Albania's lon/lat bbox →
+    EPSG:32634 (zone 34N) envelope → 30 m output grid.  Sanity: the
+    grid spans ~170×340 km at 30 m, the geotransform preserves the
+    envelope origin, and the round-trip of the grid center stays
+    inside the original bbox."""
+    from earth_data_kit_spark.grid import transform
+
+    bbox = (19.3044861183, 39.624997667, 21.0200403175, 42.6882473822)
+    e0, n0, e1, n1 = transform.transform_bbox_from_lonlat("EPSG:32634", *bbox)
+    gt, xsize, ysize = affine.warp_output_grid((e0, n0, e1, n1), 30.0, 30.0)
+    assert gt[0] == e0 and gt[3] == n1 and gt[5] == -30.0
+    # ~1.7 deg lon ≈ 140-150 km at these latitudes; ~3.06 deg lat ≈ 340 km
+    assert 4000 < xsize < 6500 and 10500 < ysize < 12000
+    cx = gt[0] + (xsize / 2) * gt[1]
+    cy = gt[3] + (ysize / 2) * gt[5]
+    lon, lat = transform.inverse("EPSG:32634", cx, cy)
+    assert bbox[0] <= float(lon) <= bbox[2] and bbox[1] <= float(lat) <= bbox[3]

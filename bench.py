@@ -246,10 +246,11 @@ def main() -> None:
     # replicated copies once, then time processAllAvailable().
     from earth_data_kit_spark.streaming.windows import (
         exact_dedup_stream,
+        exact_dedup_stream_jvm,
         tumbling_agg_stream_append,
     )
 
-    stream_names = {"stream_window_append", "stream_dedup_exact"}
+    stream_names = {"stream_window_append", "stream_dedup_exact", "stream_dedup_jvm"}
     run_streams = only_set is None or bool(stream_names & only_set)
     stream_reps = int(os.environ.get("SPARK_GRAFT_STREAM_REPS", "16"))
     ev_dir = f"/tmp/edk_bench_evstream_{os.path.basename(SF_DIR)}_{stream_reps}"
@@ -320,6 +321,41 @@ def main() -> None:
         extras["stream_dedup_rows_per_sec"] = round(
             n_doc_stream / timings["stream_dedup_exact"], 1
         )
+    timed(
+        "stream_dedup_jvm",
+        lambda: _run_stream(
+            lambda name: exact_dedup_stream_jvm(
+                spark, doc_dir, doc_schema, query_name=name
+            )
+        ),
+    )
+    if "stream_dedup_jvm" in timings:
+        extras["stream_dedup_jvm_rows_per_sec"] = round(
+            n_doc_stream / timings["stream_dedup_jvm"], 1
+        )
+
+    # q14: curation pass — canonical URL + Gopher quality + PII counts
+    # over the big html-less pages projection, pure Columns (the
+    # map-stage a 100 TB corpus runs between extract and storage)
+    from earth_data_kit_spark.text import curation as cu
+
+    def _curation():
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        big = reduce(lambda a, b: a.union(b), [d] * 64)
+        q = cu.gopher_quality_cols(F.col("text"))
+        out = big.select(
+            cu.canonical_url_col(F.concat(F.lit("https://ex.com/"), F.col("source"))).alias("cu"),
+            cu.gopher_keep_col(q).alias("keep"),
+            cu.pii_counts_col(F.col("text")).alias("pii"),
+        )
+        return out.groupBy("keep").agg(
+            F.count("*").alias("n"), F.sum("pii.n_emails").alias("e")
+        ).collect()
+
+    timed("txt_curation", _curation)
+    if "txt_curation" in timings:
+        n_cur = spark.read.parquet(f"{SF_DIR}/documents.parquet").count() * 64
+        extras["curation_docs_per_sec"] = round(n_cur / timings["txt_curation"], 1)
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -101,3 +101,20 @@ def test_curation_layer_is_jvm_only(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_canonical_url_idempotent(spark):
+    """canon(canon(u)) == canon(u) over a messy corpus — canonical
+    forms must be fixed points or URL-dedup keys drift."""
+    urls = [u for u, _ in CANON_CASES] + [
+        "https://x.com/a?utm_a=1&utm_b=2&c=3",
+        "http://Y.com:80/?gclid=1",
+        "https://z.com/p?a=1#f?utm_x=2",
+        "not a url at all",
+        "",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = df.select(cu.canonical_url_col(F.col("u")).alias("c1"))
+    twice = once.select("c1", cu.canonical_url_col(F.col("c1")).alias("c2"))
+    for r in twice.collect():
+        assert r.c1 == r.c2, r

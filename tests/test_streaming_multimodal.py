@@ -228,3 +228,28 @@ def test_audio_features_short_payload_and_tail():
     assert len(feats) == 4
     assert feats[0] == (1 + 2) / 2
     assert feats[3] == (7 + 8 + 9 + 10) / 4
+
+
+def test_streaming_exact_dedup_jvm_first_wins(spark, tmp_path):
+    """JVM dropDuplicates twin: one surviving row per distinct text,
+    same representative SET of hashes as the batch dedup (ids may
+    differ — first-arriving wins, not min — which is the documented
+    trade for the no-Python loop)."""
+    import shutil
+
+    from earth_data_kit_spark.operators.dedup import exact_dedup
+    from earth_data_kit_spark.streaming.windows import exact_dedup_stream_jvm
+
+    stream_dir = tmp_path / "docs_jvm"
+    stream_dir.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", stream_dir / "b1.parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = exact_dedup_stream_jvm(spark, str(stream_dir), DOCS_SCHEMA, query_name="dd_jvm")
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM dd_jvm").collect()
+    finally:
+        q.stop()
+    batch = exact_dedup(docs).count()
+    assert len(got) == batch  # one representative per distinct text
+    assert len({r.text_md5 for r in got}) == len(got)

@@ -95,41 +95,64 @@ def _decode(row) -> np.ndarray:
     return a.reshape(int(row["ysize"]), int(row["xsize"]))
 
 
+def decode_block_window(row, xoff: int, yoff: int, xsize: int, ysize: int):
+    """One block's contribution to a read window: clamped
+    intersection, decode, nodata → NaN, scale/offset (the reference's
+    force-cast semantics, commons.py:6-7).  Returns (dst_x, dst_y,
+    iw, ih, float32 array) or None when the block misses the window.
+    Shared by windowed_read and the DataArray facade so the decode
+    semantics can never fork."""
+    ix0, iy0, iw, ih = pixel_window_clamped(
+        xoff - int(row["xoff"]), yoff - int(row["yoff"]),
+        xsize, ysize, int(row["xsize"]), int(row["ysize"]),
+    )
+    if iw == 0 or ih == 0:
+        return None
+    arr = _decode(row)[iy0 : iy0 + ih, ix0 : ix0 + iw].astype(np.float32)
+    nod = row["nodataval"]
+    if nod is not None and not np.isnan(nod):
+        arr = np.where(arr == np.float32(nod), np.nan, arr)
+    arr = (arr * np.float32(row["scale"]) + np.float32(row["offset"])).astype(np.float32)
+    return (int(row["xoff"]) + ix0 - xoff, int(row["yoff"]) + iy0 - yoff, iw, ih, arr)
+
+
 def windowed_read(
-    blocks: DataFrame, xoff: int, yoff: int, xsize: int, ysize: int
+    blocks: DataFrame,
+    xoff: int,
+    yoff: int,
+    xsize: int,
+    ysize: int,
+    carry_cols: tuple[str, ...] = (),
+    carry_schema: str = "",
 ) -> DataFrame:
     """R1/R3: clamped window read returning per-block sub-arrays as
-    rows (dst offsets relative to the window origin) — float32 with
-    nodata → NaN and scale/offset applied (the reference's force-cast
-    semantics, commons.py:6-7).
-    """
+    rows (dst offsets relative to the window origin).  ``carry_cols``
+    pass identity columns (e.g. t, band) through the Arrow stage so
+    one job can serve many (time, band) slices of a request."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"dst_x": [], "dst_y": [], "xsize": [], "ysize": [], "values": []}
+            out = {c: [] for c in carry_cols}
+            out.update({"dst_x": [], "dst_y": [], "xsize": [], "ysize": [], "values": []})
             for _, row in pdf.iterrows():
-                # intersection of the request window with this block
-                ix0, iy0, iw, ih = pixel_window_clamped(
-                    xoff - int(row["xoff"]), yoff - int(row["yoff"]),
-                    xsize, ysize, int(row["xsize"]), int(row["ysize"]),
-                )
-                if iw == 0 or ih == 0:
+                hit = decode_block_window(row, xoff, yoff, xsize, ysize)
+                if hit is None:
                     continue
-                arr = _decode(row)[iy0 : iy0 + ih, ix0 : ix0 + iw].astype(np.float32)
-                nod = row["nodataval"]
-                if nod is not None and not np.isnan(nod):
-                    arr = np.where(arr == np.float32(nod), np.nan, arr)
-                arr = arr * np.float32(row["scale"]) + np.float32(row["offset"])
-                out["dst_x"].append(int(row["xoff"]) + ix0 - xoff)
-                out["dst_y"].append(int(row["yoff"]) + iy0 - yoff)
+                dst_x, dst_y, iw, ih, arr = hit
+                for c in carry_cols:
+                    out[c].append(row[c])
+                out["dst_x"].append(dst_x)
+                out["dst_y"].append(dst_y)
                 out["xsize"].append(iw)
                 out["ysize"].append(ih)
-                out["values"].append(arr.astype(np.float32).ravel().tolist())
+                out["values"].append(arr.ravel().tolist())
             yield pd.DataFrame(out)
 
+    prefix = f"{carry_schema}, " if carry_schema else ""
     pruned = window_filter(blocks, xoff, yoff, xsize, ysize)
     return pruned.mapInPandas(
-        run, schema="dst_x int, dst_y int, xsize int, ysize int, values array<float>"
+        run,
+        schema=f"{prefix}dst_x int, dst_y int, xsize int, ysize int, values array<float>",
     )
 
 

@@ -25,57 +25,11 @@ mosaic.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from earth_data_kit_spark.grid.affine import pixel_window_clamped
-from earth_data_kit_spark.operators.blocks import _decode, window_filter
-
-
-def _windowed_read_tb(
-    blocks: DataFrame, xoff: int, yoff: int, xsize: int, ysize: int
-) -> DataFrame:
-    """blocks.windowed_read with (t, band) carried through so a single
-    job serves every (time, band) pair of one indexing request."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {
-                "t": [], "band": [], "dst_x": [], "dst_y": [],
-                "xsize": [], "ysize": [], "values": [],
-            }
-            for _, row in pdf.iterrows():
-                ix0, iy0, iw, ih = pixel_window_clamped(
-                    xoff - int(row["xoff"]), yoff - int(row["yoff"]),
-                    xsize, ysize, int(row["xsize"]), int(row["ysize"]),
-                )
-                if iw == 0 or ih == 0:
-                    continue
-                arr = _decode(row)[iy0 : iy0 + ih, ix0 : ix0 + iw].astype(np.float32)
-                nod = row["nodataval"]
-                if nod is not None and not np.isnan(nod):
-                    arr = np.where(arr == np.float32(nod), np.nan, arr)
-                arr = arr * np.float32(row["scale"]) + np.float32(row["offset"])
-                out["t"].append(int(row["t"]))
-                out["band"].append(row["band"])
-                out["dst_x"].append(int(row["xoff"]) + ix0 - xoff)
-                out["dst_y"].append(int(row["yoff"]) + iy0 - yoff)
-                out["xsize"].append(iw)
-                out["ysize"].append(ih)
-                out["values"].append(arr.ravel().tolist())
-            yield pd.DataFrame(out)
-
-    return blocks.mapInPandas(
-        run,
-        schema=(
-            "t int, band string, dst_x int, dst_y int, "
-            "xsize int, ysize int, values array<float>"
-        ),
-    )
+from earth_data_kit_spark.operators.blocks import windowed_read
 
 
 class EDKDataArray:
@@ -141,15 +95,16 @@ class EDKDataArray:
             (len(times), len(band_names), xsize, ysize), np.nan, dtype=np.float32
         )
         if xsize and ysize and times and band_names:
-            pruned = window_filter(
-                self.blocks.where(
-                    F.col("t").isin(times) & F.col("band").isin(band_names)
-                ),
-                xoff, yoff, xsize, ysize,
+            selected = self.blocks.where(
+                F.col("t").isin(times) & F.col("band").isin(band_names)
             )
             t_pos = {t: i for i, t in enumerate(times)}
             b_pos = {b: i for i, b in enumerate(band_names)}
-            for r in _windowed_read_tb(pruned, xoff, yoff, xsize, ysize).collect():
+            read = windowed_read(  # prunes via window_filter internally
+                selected, xoff, yoff, xsize, ysize,
+                carry_cols=("t", "band"), carry_schema="t int, band string",
+            )
+            for r in read.collect():
                 a = np.array(r["values"], dtype=np.float32).reshape(
                     r["ysize"], r["xsize"]
                 )

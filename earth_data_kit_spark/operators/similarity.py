@@ -136,25 +136,29 @@ def ivf_train_sample(
     sample_buckets: int = 4,
     min_rows: int = 64,
 ) -> "pd.DataFrame":
-    """Deterministic bounded training sample as a PLAIN FILTERED SCAN:
-    keep hash bucket 0 of ``sample_buckets`` (pmod(xxhash64(id), B) ==
-    0), limit, collect, sort driver-side by id.  No orderBy on the
-    corpus — the round-2 ``orderBy(id).limit(n)`` was a TakeOrdered
-    over the full table, an ordered scan a 100 TB corpus shouldn't
-    pay for quantizer training.  Size ``sample_buckets`` ≈
-    corpus/train_size so the expected bucket population is below
-    train_size (then the limit never truncates and the sample is
-    exactly the id-sorted bucket — fully deterministic).  Falls back
-    to the unfiltered bounded scan when the bucket under-fills
+    """Deterministic bounded training sample WITHOUT an ordered scan
+    of the corpus: keep hash bucket 0 of ``sample_buckets``
+    (pmod(xxhash64(id), B) == 0 — a plain filtered scan that prunes
+    at the source), then take the ``train_size`` smallest xxhash64
+    values WITHIN the bucket.  That inner TakeOrdered runs over N/B
+    rows with a k-element per-partition heap — not the round-2 full-
+    corpus ``orderBy(id).limit(n)`` — and makes the sample a pure
+    function of the ids even when the bucket overflows train_size (a
+    bare ``limit`` there returned whichever partitions answered
+    first, flaking any hash-compare gate at scale).  Falls back to
+    the same hash-ordered scan unfiltered when the bucket under-fills
     (tiny corpora; ``min_rows`` defaults to the FAISS guidance of
     ~39 training points per centroid)."""
-    base = emb.select(id_col, vec_col)
-    sampled = base.where(
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_buckets)) == 0
-    ).limit(train_size).toPandas()
+    base = emb.select(id_col, vec_col).withColumn("_h", F.xxhash64(F.col(id_col)))
+    sampled = (
+        base.where(F.pmod(F.col("_h"), F.lit(sample_buckets)) == 0)
+        .orderBy("_h", id_col)
+        .limit(train_size)
+        .toPandas()
+    )
     if len(sampled) < min_rows:
-        sampled = base.limit(train_size).toPandas()
-    return sampled.sort_values(id_col).reset_index(drop=True)
+        sampled = base.orderBy("_h", id_col).limit(train_size).toPandas()
+    return sampled.drop(columns=["_h"]).sort_values(id_col).reset_index(drop=True)
 
 
 def cosine_topk_ivf(

@@ -66,6 +66,8 @@ def commit_stage(
     lineage commits — a crash between the two re-runs the partition,
     never skips it.
     """
+    from pyspark.sql import Observation
+
     t0 = time.time()
     out = f"{base_dir}/{stage}/data"
     # DYNAMIC overwrite is load-bearing for resume: Spark's default
@@ -74,28 +76,37 @@ def commit_stage(
     # partitions) would delete every previously committed partition
     # while lineage still marks them done.  Dynamic mode replaces
     # only the partitions present in ``df``.
+    #
+    # The keys written THIS call are collected DURING the write pass
+    # via an Observation (collect_set over the bounded partition-key
+    # column) — a plain df.select(key).distinct() afterwards would
+    # re-execute the whole upstream plan a second time (e.g. re-run
+    # the fused extract+geocode UDF over the ingest table: the most
+    # expensive stage would pay twice — code-review r3 finding).
+    obs = Observation(f"lineage_keys_{stage}")
+    observed = df.observe(obs, F.collect_set(F.col(part_key)).alias("keys"))
     (
-        df.write.mode("overwrite")
+        observed.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(part_key)
         .parquet(out)
     )
     spark = df.sparkSession
+    keys = sorted(obs.get["keys"])
     # lineage only for the partitions written THIS call — semi-join
-    # the re-read of {out} against the keys present in ``df`` (the
-    # partitions this call actually replaced).  The round-2 version
-    # derived "new" as disk-minus-already-in-lineage, which (a) gave
-    # a re-committed partition NO fresh row (stale row_count/checksum
-    # while dynamic overwrite changed the data) and (b) attributed
-    # partitions a DIFFERENT job sharing base_dir had written to this
-    # job (ADVICE r2).  Re-reading from disk (rather than hashing
-    # ``df`` directly) keeps the checksum computed over what actually
-    # landed; the semi-join key set is bounded and partition-prunes
-    # the re-read.  A re-commit appends a second lineage row for the
-    # key — readers wanting current metrics take the latest
-    # committed_at per (job_id, stage, part_key); resume semantics
-    # (key-existence) are unaffected.
-    this_call = df.select(F.col(part_key)).distinct()
+    # the re-read of {out} against the observed keys.  The round-2
+    # version derived "new" as disk-minus-already-in-lineage, which
+    # (a) gave a re-committed partition NO fresh row (stale
+    # row_count/checksum while dynamic overwrite changed the data)
+    # and (b) attributed partitions a DIFFERENT job sharing base_dir
+    # had written to this job (ADVICE r2).  Re-reading from disk
+    # (rather than hashing ``df`` directly) keeps the checksum
+    # computed over what actually landed; the key set is bounded and
+    # partition-prunes the re-read.  A re-commit appends a second
+    # lineage row for the key — readers wanting current metrics take
+    # the latest committed_at per (job_id, stage, part_key); resume
+    # semantics (key-existence) are unaffected.
+    this_call = spark.createDataFrame([(k,) for k in keys], f"{part_key} bigint")
     written = spark.read.parquet(out).join(F.broadcast(this_call), part_key, "left_semi")
     lin = (
         partition_lineage(written, part_key, lineage_cols)

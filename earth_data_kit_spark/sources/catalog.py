@@ -66,24 +66,64 @@ class Catalog:
         the current snapshot and unions (storage-level append would
         just add files; kept simple and explicit here).
 
-        Concurrency-safe commit protocol (the Iceberg analog): the
-        data lands in a uniquely named in-flight directory WITHOUT any
-        lock (the long part), then the manifest read-modify-write —
-        rename in-flight dir to snap-{id}, append history, flip
-        current — happens under the table's commit lock, so two
-        writers interleaving never lose each other's snapshots (the
-        unlocked version dropped whichever history the slower writer
-        had loaded before the faster one committed)."""
-        man0 = self._load_manifest(table)
-        if mode == "append" and man0["current"] is not None:
-            # merges the current-at-read-time snapshot: concurrent
-            # appends serialize at the manifest lock but union the
-            # snapshot each saw — same last-writer-merges semantics as
-            # any read-union-write done without a transaction
-            df = self.read(df.sparkSession, table).unionByName(df)
+        Concurrency-safe commit protocol (the Iceberg analog):
+        REPLACE writes its data into a uniquely named in-flight
+        directory WITHOUT any lock (the long part), then the manifest
+        read-modify-write — rename in-flight dir to snap-{id}, append
+        history, flip current — happens under the table's commit
+        lock, so two writers interleaving never lose each other's
+        snapshots.  APPEND holds the lock across read-current + union
+        + write too: its read of the current snapshot is part of the
+        transaction — done outside the lock, two concurrent appends
+        would each union the SAME base and the second commit would
+        silently drop the first's rows from current (they'd survive
+        only as an orphaned history snapshot).  Appends therefore
+        serialize; that is the price of read-modify-write without a
+        real table format, and exactly what Iceberg's
+        validate+retry commit loop replaces.
+
+        A writer dying mid-commit leaks only a ``.snap-inflight-*``
+        directory; the failure path removes it eagerly and every
+        locked commit sweeps leftovers older than an hour."""
+        if mode == "append":
+            with self._commit_lock(table):
+                man = self._load_manifest(table)
+                if man["current"] is not None:
+                    df = self.read(df.sparkSession, table).unionByName(df)
+                return self._commit_data(df, table, mode, locked=True)
+        return self._commit_data(df, table, mode, locked=False)
+
+    _INFLIGHT_TTL_S = 3600.0
+
+    def _sweep_inflight(self, table: str) -> None:
+        """Remove crash-orphaned in-flight dirs / manifest temps older
+        than the TTL (called only under the commit lock, so nothing
+        swept can belong to a live commit that has reached the lock;
+        a still-WRITING commit older than the TTL would lose its
+        in-flight data and fail at rename — acceptable for a stale
+        hour-old writer)."""
+        import shutil
+
+        now = time.time()
+        for p in (self.base / table).glob(".snap-inflight-*"):
+            if now - p.stat().st_mtime > self._INFLIGHT_TTL_S:
+                shutil.rmtree(p, ignore_errors=True)
+        for p in (self.base / table).glob("manifest.json.tmp-*"):
+            if now - p.stat().st_mtime > self._INFLIGHT_TTL_S:
+                p.unlink(missing_ok=True)
+
+    def _commit_data(self, df: DataFrame, table: str, mode: str, locked: bool) -> int:
+        import shutil
+
         inflight = self.base / table / f".snap-inflight-{uuid.uuid4().hex}"
-        df.write.mode("overwrite").parquet(str(inflight))
-        with self._commit_lock(table):
+        try:
+            df.write.mode("overwrite").parquet(str(inflight))
+        except BaseException:
+            shutil.rmtree(inflight, ignore_errors=True)
+            raise
+
+        def _finish() -> int:
+            self._sweep_inflight(table)
             man = self._load_manifest(table)
             snap_id = int(time.time() * 1000)
             if man["history"] and snap_id <= man["history"][-1]["id"]:
@@ -94,7 +134,12 @@ class Catalog:
             )
             man["current"] = snap_id
             self._replace_manifest(table, man)
-        return snap_id
+            return snap_id
+
+        if locked:
+            return _finish()
+        with self._commit_lock(table):
+            return _finish()
 
     def _replace_manifest(self, table: str, man: dict) -> None:
         tmp = self._manifest_path(table).with_suffix(f".json.tmp-{uuid.uuid4().hex}")

@@ -30,7 +30,10 @@ from pyspark.sql import functions as F
 # URL canonicalization
 # ---------------------------------------------------------------------------
 
-_TRACKING_PARAMS = r"(utm_[a-z]+|gclid|fbclid|msclkid|ref|mc_eid)"
+# NOTE: deliberately excludes ``ref`` — unlike utm_*/gclid/fbclid it
+# routinely selects CONTENT (e.g. a VCS branch), and stripping it
+# would collapse distinct pages into one dedup key
+_TRACKING_PARAMS = r"(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid)"
 
 
 def canonical_url_col(url: Column) -> Column:
@@ -149,9 +152,16 @@ def gopher_keep_col(q: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-# international-ish phone: optional +CC, 7-14 digits with -/space/dot
-# separators, bounded so ordinary numbers (years, ids) don't match
-_PHONE_RE = r"(?<![\w.])\+?\d{1,3}[-. (]?\d{2,4}[-. )]?\d{3,4}[-. ]?\d{3,4}(?![\w.])"
+# phone-shaped only: either an explicit +CC international run, or
+# digit groups with MANDATORY separators — with all separators
+# optional, any bare 9-15 digit run (epoch timestamps, order ids,
+# ISBNs) matched and was destroyed by the scrub (code-review r3)
+_PHONE_RE = (
+    r"(?<![\w.])(?:"
+    r"\+\d{7,15}"  # +14155550199
+    r"|\+?\d{1,3}[-. (]\(?\d{2,4}\)?[-. )]\d{3,4}[-. ]?\d{0,4}"  # separated groups
+    r")(?![\w.])"
+)
 _IPV4_RE = (
     r"(?<![\w.])(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
     r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?![\w.])"

@@ -121,15 +121,23 @@ def main(argv: list[str] | None = None) -> None:
         raise SystemExit("injected failure after pip_counts")
 
     # ---- stage 4: kNN ----------------------------------------------------
+    # persist the (|queries|×k row) RESULT: knn_join releases its cell
+    # index when the growth loop ends (caller owns the result's
+    # lifetime), and this stage runs two actions on it (isEmpty + the
+    # committed write) — uncached, each would re-scan the source and
+    # redo the ring join
     knn = knn_join(
         geocoded, em.KNN_QUERIES, k=5, res=5, ring=4, id_col="page_id",
         auto_grow=True, max_ring=64,
-    ).withColumn("part", F.col("query_id"))
-    todo = lineage.resume_filter(knn, base, job, "knn", "part")
-    if todo.isEmpty():
-        print(f"[{job}] knn: all partitions committed, skipping")
-    else:
-        lineage.commit_stage(todo, base, job, "knn", "part")
+    ).withColumn("part", F.col("query_id")).persist()
+    try:
+        todo = lineage.resume_filter(knn, base, job, "knn", "part")
+        if todo.isEmpty():
+            print(f"[{job}] knn: all partitions committed, skipping")
+        else:
+            lineage.commit_stage(todo, base, job, "knn", "part")
+    finally:
+        knn.unpersist()
 
     # ---- stage 5: training-data pass (quality + dedup stats) -------------
     from earth_data_kit_spark.text.textcols import quality_score_col

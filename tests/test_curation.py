@@ -118,3 +118,23 @@ def test_canonical_url_idempotent(spark):
     twice = once.select("c1", cu.canonical_url_col(F.col("c1")).alias("c2"))
     for r in twice.collect():
         assert r.c1 == r.c2, r
+
+
+def test_pii_phone_not_greedy_on_bare_digit_runs(spark):
+    """Epoch timestamps / order ids / ISBNs are bare digit runs and
+    must survive the scrub (the earlier all-separators-optional regex
+    redacted any 9-15 digit run — code-review r3)."""
+    text = "order 1502870400 isbn 9780306406157 call +14155550199 or 415-555-0199"
+    red = _one(spark, cu.redact_pii_col, text)
+    assert "1502870400" in red and "9780306406157" in red
+    assert "+14155550199" not in red and "415-555-0199" not in red
+    c = _one(spark, cu.pii_counts_col, text)
+    assert c.n_phones == 2
+
+
+def test_ref_param_is_not_stripped(spark):
+    """?ref= selects content (e.g. a VCS branch) — two refs must stay
+    distinct canonical URLs (code-review r3)."""
+    a = _one(spark, cu.canonical_url_col, "https://g.com/r/blob/x.py?ref=main")
+    b = _one(spark, cu.canonical_url_col, "https://g.com/r/blob/x.py?ref=release-1.0")
+    assert a != b and "ref=main" in a

@@ -156,3 +156,46 @@ def test_catalog_concurrent_writers_lose_no_snapshots(spark, tmp_path):
     # every snapshot readable and distinct
     vals = {Catalog(base).read(spark, "hammer", snapshot=s).collect()[0][0] for s in got}
     assert vals == set(range(6))
+
+
+def test_catalog_concurrent_appends_lose_no_rows(spark, tmp_path):
+    """Append is a read-modify-write: it must hold the commit lock
+    across read-current + union + write, or two concurrent appends
+    each union the same base and the later commit drops the earlier
+    one's rows from current (code-review r3 finding)."""
+    import threading
+
+    base = str(tmp_path / "acat")
+    Catalog(base).write(spark.range(0, 5).withColumnRenamed("id", "v"), "t")
+    errs = []
+
+    def append(lo):
+        try:
+            Catalog(base).write(
+                spark.range(lo, lo + 5).withColumnRenamed("id", "v"), "t", mode="append"
+            )
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    threads = [threading.Thread(target=append, args=(lo,)) for lo in (100, 200, 300)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert not errs
+    got = {r.v for r in Catalog(base).read(spark, "t").collect()}
+    expected = set(range(0, 5)) | set(range(100, 105)) | set(range(200, 205)) | set(range(300, 305))
+    assert got == expected  # every append's rows visible in current
+
+
+def test_catalog_failed_write_leaves_no_inflight(spark, tmp_path):
+    import glob
+
+    base = str(tmp_path / "fcat")
+    cat = Catalog(base)
+    cat.write(spark.range(3).withColumnRenamed("id", "v"), "t")
+    bad = spark.range(3).selectExpr("assert_true(id < 1) as v")
+    try:
+        cat.write(bad, "t")
+    except Exception:
+        pass
+    assert glob.glob(f"{base}/t/.snap-inflight-*") == []
+    assert len(cat.history("t")) == 1  # failed commit left no trace

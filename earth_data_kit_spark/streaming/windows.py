@@ -47,6 +47,23 @@ def sessionize_batch(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     )
 
 
+def sessionize_native(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """JVM-native sessionization via ``F.session_window`` (dynamic-gap
+    window merging in the aggregation layer — no Python, no explicit
+    lag/running-sum composition): per-user (n_sessions, n_events).
+    Twin of sessionize_batch; equality is pinned in tests.  This is
+    also the streaming-capable form (session_window supports
+    watermarked streams natively)."""
+    per_session = (
+        events.groupBy(F.session_window("ts", f"{gap_s} seconds"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )
+
+
 def sessionize_stream(
     spark: SparkSession,
     parquet_dir: str,

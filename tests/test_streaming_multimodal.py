@@ -253,3 +253,30 @@ def test_streaming_exact_dedup_jvm_first_wins(spark, tmp_path):
     batch = exact_dedup(docs).count()
     assert len(got) == batch  # one representative per distinct text
     assert len({r.text_md5 for r in got}) == len(got)
+
+
+def test_sessionize_native_matches_batch(spark):
+    """F.session_window (JVM dynamic-gap merging) == the lag/running-
+    sum composition, including at the exact-gap boundary (both treat
+    an event at prev + gap as the SAME session)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from earth_data_kit_spark.streaming import windows as W
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    a = {r.user_id: (r.n_sessions, r.n_events) for r in W.sessionize_batch(ev).collect()}
+    b = {r.user_id: (r.n_sessions, r.n_events) for r in W.sessionize_native(ev).collect()}
+    assert a == b and len(a) > 0
+    t0 = datetime.datetime(2017, 1, 1)
+    probe = spark.createDataFrame(
+        [(1, t0, 7), (2, t0 + datetime.timedelta(seconds=1800), 7),
+         (3, t0 + datetime.timedelta(seconds=3601), 7)],
+        "event_id bigint, ts timestamp, user_id bigint",
+    )
+    pa = W.sessionize_batch(probe).collect()[0]
+    pb = W.sessionize_native(probe).collect()[0]
+    assert (pa.n_sessions, pa.n_events) == (pb.n_sessions, pb.n_events) == (2, 3)

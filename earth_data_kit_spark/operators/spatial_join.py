@@ -97,8 +97,15 @@ def pip_join(
 
     with_cell = pages.withColumn("cell", cell_id_col(F.col(lon_col), F.col(lat_col), res))
     cand = with_cell.join(F.broadcast(cov) if broadcast_covering else cov, "cell")
+    return cand.where(refine_predicate(polygons, lon_col, lat_col))
 
-    # exact refine — rectangles as codegen'd predicates
+
+def refine_predicate(polygons: list[Polygon], lon_col: str, lat_col: str) -> "F.Column":
+    """Exact PIP refine as a single predicate: rectangles become
+    codegen'd comparisons (antimeridian-aware), true polygons go
+    through the vectorized ray-cast UDF.  Shared by every covering
+    scheme (quadgrid `pip_join`, S2 `pip_join_s2`) — the covering only
+    has to be a superset, the refine is what defines the semantics."""
     rect = {p.code: p.bbox for p in polygons if p.bbox is not None}
     poly = {p.code: p.wkt for p in polygons if p.wkt is not None}
 
@@ -124,8 +131,7 @@ def pip_join(
         refine = pip_refine_udf(poly)
         is_poly = F.col("code").isin(*poly.keys())
         keep = keep | (is_poly & refine(F.col(lon_col), F.col(lat_col), F.col("code")))
-
-    return cand.where(keep)
+    return keep
 
 
 def salted_hot_keys(

@@ -1,0 +1,114 @@
+"""Point-in-polygon join over REAL S2 cells (grid/s2.py).
+
+Same broadcast-covering + exact-refine shape as the quadgrid
+``pip_join`` (spatial_join.py — the driver-gated flagship), but the
+cell scheme is the genuine S2 cell id: Hilbert-curve position over
+the quadratic-ST cube projection.  This is the index the north rule
+names; at 100 TB it buys two things the quadgrid can't:
+
+* near-uniform cell area on the sphere (the quadgrid's lat/lon cells
+  shrink toward the poles → skewed cells for polar data);
+* prefix-range ids — a table sorted/range-partitioned by ``s2_leaf``
+  is range-prunable for ANY ancestor cell via parquet min/max stats,
+  no re-bucketing per query level.
+
+Execution shape (the 100 TB plan):
+
+  1. ONE vectorized pandas-UDF pass computes the level-30 leaf id per
+     page (`s2_leaf_udf`) — the only Python in the pipeline;
+  2. the join cell at any coarser ``level`` is derived from the leaf
+     by pure JVM bit arithmetic (`s2_parent_col` — two's-complement
+     AND/OR works on int64-reinterpreted ids), inside codegen;
+  3. polygons → S2 covering (driver-side BFS, grid/s2.py) →
+     broadcast equi-join, big side never shuffles;
+  4. exact refine shared with the quadgrid path
+     (`spatial_join.refine_predicate`) — both engines implement the
+     same semantics over different coverings, which is exactly what
+     the parity test asserts (tests/test_s2.py).
+
+Reference analog: the reference's nested ST_Intersects loop
+(/root/reference/earth_data_kit/stitching/classes/dataset.py:252-274)
+with the cell-prefilter the north rule prescribes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from earth_data_kit_spark.grid import s2
+from earth_data_kit_spark.operators.spatial_join import Polygon, refine_predicate
+
+
+def s2_leaf_udf():
+    """Vectorized (lon, lat) → S2 level-30 leaf id, as int64 (bit
+    reinterpretation of the uint64 id — equi-join/groupBy safe)."""
+
+    @pandas_udf("long")
+    def _leaf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        cid = s2.cell_from_latlng(lat.to_numpy(np.float64), lon.to_numpy(np.float64), s2.MAX_LEVEL)
+        return pd.Series(s2.to_spark_i64(cid))
+
+    return _leaf
+
+
+def s2_parent_col(leaf_col: F.Column, level: int) -> F.Column:
+    """Ancestor cell id at ``level`` from a leaf-id column — pure JVM
+    bit math (no UDF): ``(leaf & -lsb) | lsb`` with ``lsb =
+    1 << 2*(30-level)``.  Bitwise ops act on the raw two's-complement
+    bits, so the int64 reinterpretation is transparent."""
+    lsb = 1 << (2 * (s2.MAX_LEVEL - level))
+    return leaf_col.bitwiseAND(F.lit(-lsb)).bitwiseOR(F.lit(lsb))
+
+
+def s2_covering_df(spark: SparkSession, polygons: list[Polygon], level: int) -> DataFrame:
+    """(code, cell) covering rows at ``level``; antimeridian-crossing
+    boxes (xmin > xmax) are split into two non-wrapping halves before
+    the BFS covering (grid/s2.py covering_bbox is wrap-unaware)."""
+    rows = []
+    for p in polygons:
+        if p.bbox is not None:
+            boxes = [p.bbox]
+        else:
+            from earth_data_kit_spark.grid import geom
+
+            shell, _ = geom.parse_wkt_polygon(p.wkt)
+            xs = [q[0] for q in shell]
+            ys = [q[1] for q in shell]
+            boxes = [(min(xs), min(ys), max(xs), max(ys))]
+        for xmin, ymin, xmax, ymax in boxes:
+            spans = [(xmin, xmax)] if xmin <= xmax else [(xmin, 180.0), (-180.0, xmax)]
+            for lo, hi in spans:
+                for cell in s2.covering_bbox(ymin, ymax, lo, hi, level):
+                    rows.append((p.code, int(s2.to_spark_i64(np.array([cell], dtype=np.uint64))[0])))
+    pdf = pd.DataFrame(sorted(set(rows)), columns=["code", "cell"])
+    pdf["cell"] = pdf["cell"].astype("int64")
+    return spark.createDataFrame(pdf, "code string, cell bigint")
+
+
+def pip_join_s2(
+    pages: DataFrame,
+    polygons: list[Polygon],
+    level: int = 10,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    leaf_col: str | None = None,
+) -> DataFrame:
+    """pages ⋈ polygons, S2-covered: same output contract as
+    ``spatial_join.pip_join`` (pages columns + ``cell`` + ``code``).
+
+    Pass ``leaf_col`` naming a precomputed leaf-id column (the stored
+    table layout at scale: leaf computed once at ingest, every query
+    derives its join level in codegen) to skip the UDF pass entirely.
+    """
+    spark = pages.sparkSession
+    cov = s2_covering_df(spark, polygons, level)
+    if leaf_col is None:
+        pages = pages.withColumn("s2_leaf", s2_leaf_udf()(F.col(lon_col), F.col(lat_col)))
+        leaf_col = "s2_leaf"
+    with_cell = pages.withColumn("cell", s2_parent_col(F.col(leaf_col), level))
+    cand = with_cell.join(F.broadcast(cov), "cell")
+    return cand.where(refine_predicate(polygons, lon_col, lat_col))

@@ -1,0 +1,232 @@
+"""Real-S2 cell scheme (grid/s2.py) and the S2-covered PIP join.
+
+No s2geometry library exists in the sandbox, so correctness is
+established structurally:
+
+* encode↔decode round trips (center of a cell re-encodes to itself);
+* the parent/prefix-range algebra (direct encode at level L equals
+  parent-of-leaf at L; leafs lie in the ancestor's [range_min,
+  range_max]);
+* Hilbert-curve properties (consecutive curve positions are
+  4-adjacent — this pins the lookup tables: any table error breaks
+  continuity immediately);
+* geometric properties (faces of the 6 cardinal points, neighbor
+  symmetry across cube edges, covering conservativeness);
+* engine-vs-engine parity: pip_join_s2 (S2 covering) returns exactly
+  the rows of the driver-gated quadgrid pip_join (independent cell
+  schemes, shared refine) on the synthetic pages table.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from earth_data_kit_spark.grid import s2
+
+RNG = np.random.default_rng(20260816)
+LAT = RNG.uniform(-89.9, 89.9, 5000)
+LNG = RNG.uniform(-180.0, 180.0, 5000)
+LEAF = s2.cell_from_latlng(LAT, LNG, s2.MAX_LEVEL)
+
+
+def _single(lat, lng, level):
+    return int(s2.cell_from_latlng(np.array([lat]), np.array([lng]), level)[0])
+
+
+class TestCellIds:
+    def test_cardinal_faces(self):
+        for (lat, lng), face in [
+            ((0, 0), 0), ((0, 90), 1), ((90, 0), 2),
+            ((0, 180), 3), ((0, -90), 4), ((-90, 0), 5),
+        ]:
+            cid = np.array([_single(lat, lng, 30)], dtype=np.uint64)
+            assert s2.cell_face(cid)[0] == face
+
+    def test_face_cell_tokens(self):
+        # the six level-0 cells have the canonical one-digit tokens
+        assert [
+            s2.token(np.array([(f << 61) | (1 << 60)], dtype=np.uint64)) for f in range(6)
+        ] == ["1", "3", "5", "7", "9", "b"]
+
+    def test_token_round_trip(self):
+        for cid in LEAF[:200]:
+            assert s2.from_token(s2.token(np.array([cid]))) == int(cid)
+
+    def test_leaf_center_round_trip(self):
+        clat, clng = s2.cell_to_center_latlng(LEAF)
+        again = s2.cell_from_latlng(clat, clng, s2.MAX_LEVEL)
+        assert (again == LEAF).all()
+
+    @pytest.mark.parametrize("level", [0, 1, 7, 15, 24, 29])
+    def test_parent_equals_direct_encode(self, level):
+        assert (s2.parent(LEAF, level) == s2.cell_from_latlng(LAT, LNG, level)).all()
+
+    def test_level_of(self):
+        for level in (0, 9, 18, 30):
+            ids = s2.cell_from_latlng(LAT[:100], LNG[:100], level)
+            assert (s2.cell_level(ids) == level).all()
+
+    def test_prefix_range_contains_descendants(self):
+        anc = s2.parent(LEAF, 8)
+        assert ((s2.range_min(anc) <= LEAF) & (LEAF <= s2.range_max(anc))).all()
+        assert s2.contains(anc, LEAF).all()
+        # and ranges of sibling ancestors are disjoint
+        uniq = np.unique(anc)
+        mins, maxs = s2.range_min(uniq), s2.range_max(uniq)
+        order = np.argsort(s2.xor_msb(uniq))
+        assert (s2.xor_msb(maxs[order])[:-1] < s2.xor_msb(mins[order])[1:]).all()
+
+    def test_center_inside_cell_bounds(self):
+        cells = s2.parent(LEAF[:500], 12)
+        clat, clng = s2.cell_to_center_latlng(cells)
+        back = s2.cell_from_latlng(clat, clng, 12)
+        assert (back == cells).all()
+
+
+class TestHilbert:
+    def test_curve_continuity(self):
+        # consecutive positions along the curve are edge-adjacent in
+        # (i, j) — the defining Hilbert property; pins both tables
+        for level in (4, 10, 16):
+            pos = RNG.integers(0, (1 << (2 * level)) - 1, 3000).astype(np.uint64)
+            for face in (0, 3):
+                fa = np.full(pos.shape, face, dtype=np.uint64)
+                i1, j1, _ = s2._decode_pos(fa, pos, level)
+                i2, j2, _ = s2._decode_pos(fa, pos + np.uint64(1), level)
+                d = np.abs(i1.astype(np.int64) - i2.astype(np.int64)) + np.abs(
+                    j1.astype(np.int64) - j2.astype(np.int64)
+                )
+                assert (d == 1).all()
+
+    def test_encode_decode_pos_inverse(self):
+        level = 12
+        face = RNG.integers(0, 6, 2000).astype(np.uint64)
+        i = RNG.integers(0, 1 << level, 2000).astype(np.uint64)
+        j = RNG.integers(0, 1 << level, 2000).astype(np.uint64)
+        pos = s2._encode_pos(face, i, j, level)
+        i2, j2, _ = s2._decode_pos(face, pos, level)
+        assert (i2 == i).all() and (j2 == j).all()
+
+    def test_locality(self):
+        # id-adjacent leaf cells are geographically close: the great-
+        # circle gap between consecutive sorted leaves of a dense
+        # sample is tiny compared to random-pair distance
+        lat = RNG.uniform(10, 11, 2000)
+        lng = RNG.uniform(20, 21, 2000)
+        ids = s2.cell_from_latlng(lat, lng, 30)
+        order = np.argsort(s2.xor_msb(ids))
+        lat_s, lng_s = lat[order], lng[order]
+        step = np.hypot(np.diff(lat_s), np.diff(lng_s))
+        rand = np.hypot(lat[:-1] - lat[1:], lng[:-1] - lng[1:])
+        assert np.median(step) < 0.2 * np.median(rand)
+
+
+class TestNeighbors:
+    @pytest.mark.parametrize("level", [2, 6, 12])
+    def test_neighbor_symmetry_and_level(self, level):
+        for lat, lng in zip(RNG.uniform(-85, 85, 25), RNG.uniform(-180, 180, 25)):
+            c = _single(lat, lng, level)
+            nbs = s2.edge_neighbors(c)
+            assert len(set(nbs)) == 4 and c not in nbs
+            for nb in nbs:
+                assert int(s2.cell_level(np.array([nb], dtype=np.uint64))[0]) == level
+                assert c in s2.edge_neighbors(nb)
+
+    def test_cross_face_neighbors(self):
+        # a cell hugging the face-0/face-1 edge (lng=45) must have a
+        # neighbor on the other face
+        c = _single(10.0, 44.999999, 8)
+        faces = {int(s2.cell_face(np.array([n], dtype=np.uint64))[0]) for n in s2.edge_neighbors(c)}
+        assert faces == {0, 1}
+
+    def test_near_pole_neighbors(self):
+        c = _single(89.9, 10.0, 6)
+        assert len(set(s2.edge_neighbors(c))) == 4
+
+    def test_k_ring_growth(self):
+        c = _single(40.0, -74.0, 10)
+        sizes = [len(s2.k_ring(c, k)) for k in (0, 1, 2, 3)]
+        assert sizes[0] == 1
+        # interior k-rings follow the quad-grid diamond/square counts
+        assert sizes == [1, 5, 13, 25]
+
+
+class TestCovering:
+    def test_bbox_covering_is_conservative(self):
+        lat = RNG.uniform(30.0, 34.0, 4000)
+        lng = RNG.uniform(-80.0, -74.0, 4000)
+        cov = set(s2.covering_bbox(30.0, 34.0, -80.0, -74.0, 8))
+        cells = s2.parent(s2.cell_from_latlng(lat, lng, 30), 8)
+        assert all(int(c) in cov for c in cells)
+
+    def test_covering_tightness(self):
+        # the covering shouldn't be a wild superset: its cell count is
+        # within a small factor of the box/cell area ratio
+        cov = s2.covering_bbox(30.0, 34.0, -80.0, -74.0, 8)
+        assert len(cov) < 600  # box ≈ 4°×6° ≈ 182 level-8 cells (~0.3°)
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark):
+    from earth_data_kit_spark.sources.pages import pages_meta_df
+
+    return pages_meta_df(spark, "/root/testdata/sf0.001")
+
+
+class TestPipJoinS2:
+    def test_parity_with_quadgrid_engine(self, spark, pages_df):
+        """Independent-engine agreement: the S2-covered join must
+        return exactly the quadgrid-covered join's rows (both refine
+        with the same exact predicate; coverings differ entirely)."""
+        from earth_data_kit_spark.operators.spatial_join import Polygon, pip_join
+        from earth_data_kit_spark.operators.spatial_join_s2 import pip_join_s2
+
+        polys = [
+            Polygon(code="US-E", name="us east", bbox=(-85.0, 30.0, -70.0, 45.0)),
+            Polygon(code="ALPS", name="alps-ish", wkt="POLYGON ((5 44, 12 44, 14 47, 9 48, 5 46, 5 44))"),
+            Polygon(code="FJ", name="fiji wrap", bbox=(177.0, -20.0, -178.0, -15.0)),
+        ]
+        cols = ["url", "code"]
+        a = pip_join(pages_df, polys, res=6).select(*cols)
+        b = pip_join_s2(pages_df, polys, level=8).select(*cols)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+        assert a.count() > 0
+
+    def test_precomputed_leaf_column_path(self, spark, pages_df, tmp_path):
+        """The at-scale layout: leaf ids stored once at ingest, join
+        level derived in codegen — same answer, zero UDF in the join
+        plan over the stored table."""
+        from earth_data_kit_spark.operators.spatial_join import Polygon
+        from earth_data_kit_spark.operators.spatial_join_s2 import (
+            pip_join_s2,
+            s2_leaf_udf,
+        )
+
+        polys = [Polygon(code="US-E", name="us east", bbox=(-85.0, 30.0, -70.0, 45.0))]
+        path = str(tmp_path / "pages_with_leaf")
+        pages_df.withColumn(
+            "s2_leaf", s2_leaf_udf()(F.col("lon"), F.col("lat"))
+        ).write.parquet(path)
+        stored = spark.read.parquet(path)
+        a = pip_join_s2(stored, polys, level=8, leaf_col="s2_leaf").select("url", "code")
+        b = pip_join_s2(pages_df, polys, level=8).select("url", "code")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+        # plan of the precomputed path contains no Python evaluation
+        plan = a._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    def test_parent_col_matches_numpy(self, spark):
+        import pandas as pd
+
+        from earth_data_kit_spark.operators.spatial_join_s2 import s2_parent_col
+
+        leaf_i64 = s2.to_spark_i64(LEAF[:1000])
+        sdf = spark.createDataFrame(pd.DataFrame({"leaf": leaf_i64}))
+        for level in (4, 11, 20):
+            got = np.array(
+                [r.p for r in sdf.select(s2_parent_col(F.col("leaf"), level).alias("p")).collect()],
+                dtype=np.int64,
+            )
+            want = s2.to_spark_i64(s2.parent(LEAF[:1000], level))
+            assert (np.sort(got) == np.sort(want)).all()

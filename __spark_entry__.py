@@ -311,12 +311,23 @@ def _q_geo_pip_countries(spark, sf_dir):
     )
 
 
-def _q_geo_pip_rows(spark, sf_dir):
+def _q_geo_pip_s2(spark, sf_dir):
+    """PIP join through the REAL S2 engine (grid/s2.py: Hilbert-curve
+    cell ids over the quadratic-ST cube): leaf ids via one pandas-UDF
+    pass, join level derived by JVM bit math, BFS covering broadcast.
+    The oracle states the exact refine semantics (bbox containment) —
+    valid for any superset covering, so a hash match here verifies the
+    whole S2 stack end-to-end (a wrong Hilbert table, face frame, or
+    parent bit-shift loses candidate rows and breaks the hash).
+    Replaced geo_pip_rows (same rows through the quadgrid engine,
+    which 4 other gates still cover; pip_join rows stay pytest-gated
+    in tests/test_spatial_join_spark.py)."""
     from earth_data_kit_spark.operators import spatial_join as sj
+    from earth_data_kit_spark.operators.spatial_join_s2 import pip_join_s2
 
     pages = _pages(spark, sf_dir).where(F.col("page_id") % 7 == 0)
     polys = [sj.Polygon(code=c, name=n, bbox=(a, b, x, y)) for c, n, a, b, x, y in COUNTRIES]
-    return sj.pip_join(pages, polys, res=CELL_RES).select("page_id", "code")
+    return pip_join_s2(pages, polys, level=6).select("page_id", "code")
 
 
 def _q_geo_pip_polygon(spark, sf_dir):
@@ -1286,7 +1297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     geo_time_expand (expand_time still driver-covered via
     geo_grid_expand), txt_stats (overlaps txt_quality/txt_vocab),
     rel_semi_join (exists/semi covered by rel_q4_priority_exists),
-    rel_q10_returned_items (join+agg+topk covered by rel_q3/rel_q18).
+    rel_q10_returned_items (join+agg+topk covered by rel_q3/rel_q18),
+    and geo_pip_rows (same rows now flow through the REAL S2 engine
+    as geo_pip_s2; the quadgrid row path stays pytest-gated).
     """
     return {
         # previously-unrecorded components first (ANN / embedding /
@@ -1299,7 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # geospatial engine
         "geo_cell_counts": _q_geo_cell_counts,
         "geo_pip_countries": _q_geo_pip_countries,
-        "geo_pip_rows": _q_geo_pip_rows,
+        "geo_pip_s2": _q_geo_pip_s2,
         "geo_pip_polygon": _q_geo_pip_polygon,
         "geo_pip_concave": _q_geo_pip_concave,
         "geo_pip_antimeridian": _q_geo_pip_antimeridian,
@@ -1374,7 +1387,10 @@ FROM pages p JOIN countries c
   ON p.lon >= c.xmin AND p.lon <= c.xmax AND p.lat >= c.ymin AND p.lat <= c.ymax
 GROUP BY code
 """,
-        "geo_pip_rows": f"""
+        # S2-engine PIP: the oracle is the refine semantics (exact
+        # bbox containment) — covering-scheme-independent, so DuckDB
+        # needs no S2 math and the hash still pins the whole S2 stack
+        "geo_pip_s2": f"""
 WITH pages AS ({pages}),
 countries(code, xmin, ymin, xmax, ymax) AS (VALUES {countries_values})
 SELECT page_id, code

@@ -322,42 +322,50 @@ def xor_msb(cid):
 
 # ------------------------------------------------------------ neighbors
 
-def edge_neighbors(cid: int) -> list[int]:
-    """The 4 edge-adjacent cells at the same level (single id).
+def edge_neighbors_batch(cids) -> np.ndarray:
+    """(N, 4) edge-adjacent cells for N same-level ids (vectorized).
 
     In-face steps use exact (i,j) arithmetic; steps off the face edge
     re-project geometrically: the neighbor's center in (s,t) lies half
     a cell beyond the boundary, st_to_uv extends monotonically past
     [0,1], and face_uv_to_xyz is valid for any (u,v), so normalizing
     that point and re-encoding lands in the true adjacent cell on the
-    adjacent face.  (Same construction the covering BFS uses.)
+    adjacent face.
     """
-    f, i_, j_, lv = cell_to_face_ij(np.array([cid], dtype=np.uint64))
-    face, i, j, level = int(f[0]), int(i_[0]), int(j_[0]), int(lv[0])
-    n = 1 << level
-    out = []
-    for di, dj in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+    cids = np.asarray(cids, dtype=np.uint64)
+    face, i, j, level = cell_to_face_ij(cids)
+    if cids.size == 0:
+        return np.empty((0, 4), dtype=np.uint64)
+    lvl = int(level[0])
+    if not (level == lvl).all():
+        raise ValueError("edge_neighbors_batch requires uniform level")
+    n = 1 << lvl
+    out = np.empty((cids.size, 4), dtype=np.uint64)
+    for k, (di, dj) in enumerate(((-1, 0), (1, 0), (0, -1), (0, 1))):
         ii, jj = i + di, j + dj
-        if 0 <= ii < n and 0 <= jj < n:
-            out.append(
-                int(
-                    cell_from_face_ij(
-                        np.array([face], dtype=np.uint64),
-                        np.array([ii], dtype=np.uint64),
-                        np.array([jj], dtype=np.uint64),
-                        level,
-                    )[0]
-                )
+        inside = (ii >= 0) & (ii < n) & (jj >= 0) & (jj < n)
+        res = np.empty(cids.size, dtype=np.uint64)
+        if inside.any():
+            res[inside] = cell_from_face_ij(
+                face[inside].astype(np.uint64),
+                ii[inside].astype(np.uint64),
+                jj[inside].astype(np.uint64),
+                lvl,
             )
-        else:
-            s = (ii + 0.5) / n
-            t = (jj + 0.5) / n
-            x, y, z = face_uv_to_xyz(
-                np.array([face], dtype=np.uint64), st_to_uv(np.array([s])), st_to_uv(np.array([t]))
-            )
+        off = ~inside
+        if off.any():
+            s = (ii[off] + 0.5) / n
+            t = (jj[off] + 0.5) / n
+            x, y, z = face_uv_to_xyz(face[off].astype(np.uint64), st_to_uv(s), st_to_uv(t))
             norm = np.sqrt(x * x + y * y + z * z)
-            out.append(int(cell_from_xyz(x / norm, y / norm, z / norm, level)[0]))
+            res[off] = cell_from_xyz(x / norm, y / norm, z / norm, lvl)
+        out[:, k] = res
     return out
+
+
+def edge_neighbors(cid: int) -> list[int]:
+    """The 4 edge-adjacent cells at the same level (single id)."""
+    return [int(c) for c in edge_neighbors_batch(np.array([cid], dtype=np.uint64))[0]]
 
 
 def k_ring(cid: int, k: int) -> list[int]:
@@ -376,26 +384,35 @@ def k_ring(cid: int, k: int) -> list[int]:
     return sorted(seen)
 
 
-def _cell_latlng_bounds(cid: int) -> tuple[float, float, float, float]:
-    """(lat_min, lat_max, lng_min, lng_max) of the 4 cell corners plus
-    edge midpoints (lat extrema of an S2 cell edge can fall mid-edge;
-    midpoints make the box conservative enough for covering tests at
+# corner + edge-midpoint + center sample fractions for cell bounds
+_BOUND_FI = np.array([0.0, 0.0, 0.0, 0.5, 0.5, 1.0, 1.0, 1.0, 0.5])
+_BOUND_FJ = np.array([0.0, 0.5, 1.0, 0.0, 1.0, 0.0, 0.5, 1.0, 0.5])
+
+
+def cell_latlng_bounds_batch(cids):
+    """Per-cell (lat_min, lat_max, lng_min, lng_max) arrays from the
+    4 corners + edge midpoints + center (lat extrema of an S2 cell
+    edge can fall mid-edge; midpoints keep the box conservative at
     the levels the covering BFS uses)."""
-    f, i_, j_, lv = cell_to_face_ij(np.array([cid], dtype=np.uint64))
-    face, i, j, level = int(f[0]), int(i_[0]), int(j_[0]), int(lv[0])
-    n = 1 << level
-    fracs = [(0.0, 0.0), (0.0, 0.5), (0.0, 1.0), (0.5, 0.0), (0.5, 1.0), (1.0, 0.0), (1.0, 0.5), (1.0, 1.0), (0.5, 0.5)]
-    ss = np.array([(i + fi) / n for fi, _ in fracs])
-    ts = np.array([(j + fj) / n for _, fj in fracs])
-    x, y, z = face_uv_to_xyz(np.full(len(fracs), face, dtype=np.uint64), st_to_uv(ss), st_to_uv(ts))
+    cids = np.asarray(cids, dtype=np.uint64)
+    face, i, j, level = cell_to_face_ij(cids)
+    n = (np.int64(1) << level).astype(np.float64)
+    ss = (i[:, None] + _BOUND_FI[None, :]) / n[:, None]
+    ts = (j[:, None] + _BOUND_FJ[None, :]) / n[:, None]
+    m = _BOUND_FI.size
+    facer = np.repeat(face.astype(np.uint64), m)
+    x, y, z = face_uv_to_xyz(facer, st_to_uv(ss.ravel()), st_to_uv(ts.ravel()))
     lat, lng = xyz_to_latlng(x, y, z)
-    return float(lat.min()), float(lat.max()), float(lng.min()), float(lng.max())
+    lat = lat.reshape(-1, m)
+    lng = lng.reshape(-1, m)
+    return lat.min(axis=1), lat.max(axis=1), lng.min(axis=1), lng.max(axis=1)
 
 
 def covering_bbox(lat_min: float, lat_max: float, lng_min: float, lng_max: float, level: int, max_cells: int = 4096) -> list[int]:
-    """Conservative S2 covering of a lat/lng box at one level: BFS
-    from the box-center cell through edge neighbors, keeping cells
-    whose (corner+midpoint) lat/lng box overlaps the query box.
+    """Conservative S2 covering of a lat/lng box at one level:
+    wave-vectorized BFS from the box-center cell through edge
+    neighbors, keeping cells whose (corner+midpoint) lat/lng box
+    overlaps the query box.
 
     Superset covering — exactness is restored by the refine stage,
     exactly like the quadgrid covering (cells.py covering_bbox).  Not
@@ -405,18 +422,18 @@ def covering_bbox(lat_min: float, lat_max: float, lng_min: float, lng_max: float
     seed = int(cell_from_latlng(np.array([(lat_min + lat_max) / 2.0]), np.array([(lng_min + lng_max) / 2.0]), level)[0])
     keep: set[int] = set()
     seen = {seed}
-    frontier = [seed]
-    while frontier:
-        nxt = []
-        for c in frontier:
-            a0, a1, o0, o1 = _cell_latlng_bounds(c)
-            if a0 <= lat_max and a1 >= lat_min and o0 <= lng_max and o1 >= lng_min:
-                keep.add(c)
-                for nb in edge_neighbors(c):
-                    if nb not in seen:
-                        seen.add(nb)
-                        nxt.append(nb)
+    frontier = np.array([seed], dtype=np.uint64)
+    while frontier.size:
+        a0, a1, o0, o1 = cell_latlng_bounds_batch(frontier)
+        ok = (a0 <= lat_max) & (a1 >= lat_min) & (o0 <= lng_max) & (o1 >= lng_min)
+        kept = frontier[ok]
+        keep.update(int(c) for c in kept)
+        if kept.size == 0:
+            break
+        nbs = edge_neighbors_batch(kept).ravel()
+        fresh = [int(c) for c in np.unique(nbs) if int(c) not in seen]
+        seen.update(fresh)
         if len(seen) > max_cells:
             raise ValueError(f"covering exceeded {max_cells} cells; use a coarser level")
-        frontier = nxt
+        frontier = np.array(fresh, dtype=np.uint64)
     return sorted(keep)

@@ -27,6 +27,20 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 PAGES_REPS = int(os.environ.get("SPARK_GRAFT_PAGES_REPS", "512"))  # driver default: snappy; scaling_run.sh pins 4096
 
 
+def _cpu_calib(seconds: float = 0.25) -> int:
+    """Single-thread busy-loop score (iterations/sec).  The sandbox
+    VM's delivered CPU drifts tens of percent between measurement
+    windows (BENCH/BASELINE.md); stamping a calibration into every
+    bench JSON lets readers normalize cross-run comparisons."""
+    t0 = time.perf_counter()
+    n = 0
+    x = 1.0
+    while time.perf_counter() - t0 < seconds:
+        x = x * 1.0000001 + 1.0
+        n += 1
+    return round(n / seconds)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -394,6 +408,7 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": CPUS,
         "pages_rows": n_pages,
+        "cpu_calib_iters_per_sec": _cpu_calib(),
         **extras,
     }
     print(json.dumps(result))

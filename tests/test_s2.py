@@ -216,6 +216,68 @@ class TestPipJoinS2:
         plan = a._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
+    def test_storage_layout_prunes_by_cell(self, spark, tmp_path):
+        """The 100 TB table layout the prefix-range property buys:
+        directory-partitioned by a coarse S2 parent (JVM bit math),
+        leaf-sorted within files.  A cell-range query must (a) prune
+        partitions at planning time (scan reads fewer files than the
+        table holds), (b) push the leaf range into the parquet scan,
+        (c) return exactly the rows whose ancestor is the query cell."""
+        import pandas as pd
+
+        from earth_data_kit_spark.operators.spatial_join_s2 import s2_parent_col
+
+        rng = np.random.default_rng(3)
+        lat = rng.uniform(-60, 70, 50_000)
+        lng = rng.uniform(-180, 180, 50_000)
+        leaf = s2.to_spark_i64(s2.cell_from_latlng(lat, lng, 30))
+        pdf = pd.DataFrame({"id": np.arange(lat.size), "s2_leaf": leaf})
+        path = str(tmp_path / "pages_s2_layout")
+        (
+            spark.createDataFrame(pdf)
+            .withColumn("s2_p2", s2_parent_col(F.col("s2_leaf"), 2))
+            .repartition(F.col("s2_p2"))
+            .sortWithinPartitions("s2_leaf")
+            .write.partitionBy("s2_p2")
+            .parquet(path)
+        )
+        t = spark.read.parquet(path)
+        n_files_total = len(t.inputFiles())
+
+        anc = s2.parent(s2.cell_from_latlng(np.array([48.0]), np.array([2.0]), 30), 6)
+        lo = int(s2.to_spark_i64(s2.range_min(anc))[0])
+        hi = int(s2.to_spark_i64(s2.range_max(anc))[0])
+        p2 = int(s2.to_spark_i64(s2.parent(anc, 2))[0])
+        q = t.where(
+            (F.col("s2_p2") == p2) & (F.col("s2_leaf") >= lo) & (F.col("s2_leaf") <= hi)
+        )
+        rows = q.collect()
+
+        # (c) exactness vs numpy
+        want = int((s2.parent(s2.from_spark_i64(leaf), 6) == anc[0]).sum())
+        assert len(rows) == want > 0
+
+        # (b) leaf range reaches the parquet scan
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "GreaterThanOrEqual(s2_leaf" in plan and "LessThanOrEqual(s2_leaf" in plan
+
+        # (a) partition pruning: the executed scan read fewer files
+        def scan_num_files(node):
+            if "Scan" in node.nodeName():
+                it = node.metrics().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    if kv._1() == "numFiles":
+                        return kv._2().value()
+            for i in range(node.children().size()):
+                got = scan_num_files(node.children().apply(i))
+                if got is not None:
+                    return got
+            return None
+
+        n_read = scan_num_files(q._jdf.queryExecution().executedPlan())
+        assert n_read is not None and n_read < n_files_total
+
     def test_parent_col_matches_numpy(self, spark):
         import pandas as pd
 

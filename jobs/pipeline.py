@@ -54,6 +54,7 @@ def main(argv: list[str] | None = None) -> None:
     from earth_data_kit_spark.functions.udfs import extract_geocode_udf
     from earth_data_kit_spark.operators import spatial_join as sj
     from earth_data_kit_spark.operators.knn import knn_join
+    from earth_data_kit_spark.operators.spatial_join_s2 import s2_leaf_udf
     from earth_data_kit_spark.plans import lineage
     from earth_data_kit_spark.session import get_spark
     from earth_data_kit_spark.sources.pages import synth_pages_df
@@ -94,6 +95,11 @@ def main(argv: list[str] | None = None) -> None:
         )
         .where(F.col("lat").isNotNull())
         .withColumn("cell", cell_id_col(F.col("lon"), F.col("lat"), CELL_RES))
+        # both hierarchical indexes stamped ONCE at ingest (north rule:
+        # "H3 and S2 cell indexes"): quadgrid cell for the SQL-mirrored
+        # gates, real-S2 leaf for prefix-range layouts — downstream
+        # queries derive any S2 level by bit math, no Python ever again
+        .withColumn("s2_leaf", s2_leaf_udf()(F.col("lon"), F.col("lat")))
     )
     todo = lineage.resume_filter(geo, base, job, "geocode", "part")
     if todo.isEmpty():

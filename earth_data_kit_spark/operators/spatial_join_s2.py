@@ -107,6 +107,115 @@ def s2_covering_df(spark: SparkSession, polygons: list[Polygon], level: int) -> 
     return spark.createDataFrame(pdf, "code string, cell bigint")
 
 
+def s2_ring_safe_radius_m(level: int, ring: int) -> float:
+    """Conservative geodesic radius FULLY covered by an S2 BFS
+    ``ring`` at ``level``: any point outside ``k_ring(cell, ring)``
+    is at least this far from any query inside ``cell``.
+
+    Derivation: leaving a BFS ring crosses ring-many edge hops, but
+    corner-adjacent cells are 2 hops while sharing a point, so only
+    ``floor(ring/2)`` full cell-thickness layers are guaranteed;
+    S2 cell thickness at ``level`` is ≥ ~0.94·2^−level rad (quadratic
+    ST projection; measured min neighbor-center distance 0.95·2^−l
+    across levels 4-12).  We claim 0.5·2^−level per layer — ~2×
+    under the measured worst case (ring 2 ≥ 1.12·2^−l, ring 4 ≥
+    2.40·2^−l, tests/test_s2.py pins this) — so the bound errs only
+    toward wider rings, never toward missed neighbors."""
+    return 0.5 * (ring // 2) * (2.0 ** -level) * 6371000.0
+
+
+def s2_query_rings_df(
+    spark: SparkSession,
+    queries: list[tuple[int, float, float]],  # (query_id, lat, lon)
+    level: int,
+    ring: int,
+) -> DataFrame:
+    """(query_id, qlat, qlon, _s2k) BFS k-ring rows per query —
+    broadcast side of the S2 kNN/radius joins; cells carried in
+    compact prefix form (s2_prefix_key_col)."""
+    rows = []
+    shift = 61 - 2 * level
+    for qid, qlat, qlon in queries:
+        c = int(s2.cell_from_latlng(np.array([qlat]), np.array([qlon]), level)[0])
+        for cell in s2.k_ring(c, ring):
+            rows.append((qid, float(qlat), float(qlon), int(cell >> shift)))
+    return spark.createDataFrame(
+        rows, "query_id bigint, qlat double, qlon double, _s2k bigint"
+    )
+
+
+def knn_join_s2(
+    points: DataFrame,
+    queries: list[tuple[int, float, float]],
+    k: int,
+    level: int = 9,
+    ring: int = 2,
+    id_col: str = "page_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    leaf_col: str | None = None,
+) -> DataFrame:
+    """Top-K nearest points per query over the REAL S2 index — the
+    north rule's "kNN via k-ring expansion with distance re-rank"
+    running on genuine S2 cells.  Same output contract and the same
+    two-level JVM top-k as the quadgrid ``knn.knn_join`` (reused);
+    exact within ``s2_ring_safe_radius_m(level, ring)`` of each
+    query.  Engine-parity with knn_join is pytest-pinned
+    (tests/test_s2.py).  Pass ``leaf_col`` for stored-leaf tables
+    (zero Python at query time)."""
+    from earth_data_kit_spark.functions.columns import haversine_m_col
+    from earth_data_kit_spark.operators.knn import _topk
+
+    spark = points.sparkSession
+    rings = s2_query_rings_df(spark, queries, level, ring)
+    if leaf_col is None:
+        points = points.withColumn("s2_leaf", s2_leaf_udf()(F.col(lon_col), F.col(lat_col)))
+        leaf_col = "s2_leaf"
+    pts = points.withColumn("_s2k", s2_prefix_key_col(F.col(leaf_col), level))
+    cand = pts.join(F.broadcast(rings), "_s2k")
+    dist = haversine_m_col(F.col("qlat"), F.col("qlon"), F.col(lat_col), F.col(lon_col))
+    scored = cand.withColumn("dist_m", dist).select("query_id", id_col, "dist_m")
+    return _topk(scored, k, id_col)
+
+
+def radius_join_s2(
+    points: DataFrame,
+    queries: list[tuple[int, float, float]],
+    radius_m: float,
+    level: int = 9,
+    id_col: str = "page_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    leaf_col: str | None = None,
+) -> DataFrame:
+    """All points within ``radius_m`` of each query — exact: the ring
+    is grown until s2_ring_safe_radius_m covers the radius, then the
+    haversine predicate refines.  Output (query_id, <id_col>, dist_m).
+    """
+    import math
+
+    from earth_data_kit_spark.functions.columns import haversine_m_col
+
+    ring = 2
+    while s2_ring_safe_radius_m(level, ring) < radius_m:
+        ring += 2
+        if ring > 512:
+            raise ValueError("radius too large for this level; use a coarser level")
+    spark = points.sparkSession
+    rings = s2_query_rings_df(spark, queries, level, ring)
+    if leaf_col is None:
+        points = points.withColumn("s2_leaf", s2_leaf_udf()(F.col(lon_col), F.col(lat_col)))
+        leaf_col = "s2_leaf"
+    pts = points.withColumn("_s2k", s2_prefix_key_col(F.col(leaf_col), level))
+    dist = haversine_m_col(F.col("qlat"), F.col("qlon"), F.col(lat_col), F.col(lon_col))
+    return (
+        pts.join(F.broadcast(rings), "_s2k")
+        .withColumn("dist_m", dist)
+        .where(F.col("dist_m") <= radius_m)
+        .select("query_id", id_col, "dist_m")
+    )
+
+
 def pip_join_s2(
     pages: DataFrame,
     polygons: list[Polygon],

@@ -278,6 +278,82 @@ class TestPipJoinS2:
         n_read = scan_num_files(q._jdf.queryExecution().executedPlan())
         assert n_read is not None and n_read < n_files_total
 
+    def test_knn_parity_with_quadgrid_and_bruteforce(self, spark, pages_df):
+        """S2-ring kNN returns exactly the brute-force top-k (and
+        hence the quadgrid knn_join's answer).  The ring is chosen
+        from the brute-force k-th distance so the coverage guarantee
+        holds by construction — no flaky geometry assumptions."""
+        from earth_data_kit_spark.operators.knn import knn_brute_force
+        from earth_data_kit_spark.operators.spatial_join_s2 import (
+            knn_join_s2,
+            s2_ring_safe_radius_m,
+        )
+
+        queries = [(1, 41.33, 19.82), (2, 51.0, 10.5), (3, 20.6, 78.9)]
+        k, level = 5, 5
+        exact = knn_brute_force(pages_df, queries, k).collect()
+        dk_max = max(r.dist_m for r in exact)
+        ring = 2
+        while s2_ring_safe_radius_m(level, ring) <= dk_max:
+            ring += 2
+        got = knn_join_s2(pages_df, queries, k, level=level, ring=ring).collect()
+        key = lambda r: (r.query_id, r.rank)
+        assert {key(r): (r.page_id, round(r.dist_m, 6)) for r in got} == {
+            key(r): (r.page_id, round(r.dist_m, 6)) for r in exact
+        }
+
+    def test_radius_join_parity_with_quadgrid(self, spark, pages_df):
+        from earth_data_kit_spark.operators.knn import radius_join
+        from earth_data_kit_spark.operators.spatial_join_s2 import radius_join_s2
+
+        queries = [(1, 41.33, 19.82), (2, 51.0, 10.5)]
+        a = radius_join(pages_df, queries, radius_m=150_000, res=7)
+        b = radius_join_s2(pages_df, queries, radius_m=150_000, level=7)
+        ka = {(r.query_id, r.page_id) for r in a.collect()}
+        kb = {(r.query_id, r.page_id) for r in b.collect()}
+        assert ka == kb and len(ka) > 0
+
+    def test_ring_safe_radius_bound_holds(self):
+        """Empirical pin of s2_ring_safe_radius_m: for sampled cells,
+        every cell OUTSIDE k_ring(c, ring) keeps its closest sampled
+        point at least the claimed radius from anywhere in c."""
+        from earth_data_kit_spark.operators.spatial_join_s2 import (
+            s2_ring_safe_radius_m,
+        )
+
+        def cell_pts(cid):
+            f, i, j, lv = s2.cell_to_face_ij(np.array([cid], dtype=np.uint64))
+            f, i, j, lv = int(f[0]), int(i[0]), int(j[0]), int(lv[0])
+            n = 1 << lv
+            fr = [0.0, 0.25, 0.5, 0.75, 1.0]
+            ss = np.array([(i + a) / n for a in fr for _ in fr])
+            ts = np.array([(j + b) / n for _ in fr for b in fr])
+            x, y, z = s2.face_uv_to_xyz(
+                np.full(ss.size, f, dtype=np.uint64), s2.st_to_uv(ss), s2.st_to_uv(ts)
+            )
+            nrm = np.sqrt(x * x + y * y + z * z)
+            return np.stack([x / nrm, y / nrm, z / nrm], axis=1)
+
+        rng = np.random.default_rng(11)
+        for level, ring in ((6, 2), (9, 3), (9, 4)):
+            lat = rng.uniform(-85, 85, 12)
+            lng = rng.uniform(-180, 180, 12)
+            for c in np.unique(s2.cell_from_latlng(lat, lng, level)):
+                c = int(c)
+                ring_set = set(s2.k_ring(c, ring))
+                frontier = {
+                    nb
+                    for rc in ring_set
+                    for nb in s2.edge_neighbors(rc)
+                    if nb not in ring_set
+                }
+                pc = cell_pts(c)
+                worst = min(
+                    float(np.arccos(np.clip(pc @ cell_pts(fc).T, -1, 1)).min())
+                    for fc in frontier
+                )
+                assert worst * 6371000.0 >= s2_ring_safe_radius_m(level, ring)
+
     def test_parent_col_matches_numpy(self, spark):
         import pandas as pd
 

@@ -1,0 +1,78 @@
+"""Sequence packing (operators/packing.py): per-shard FFD equals the
+shared python packer, invariants hold, and the plan is one exchange.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from earth_data_kit_spark.operators.packing import (
+    ffd_pack,
+    pack_sequences,
+    packing_stats,
+)
+
+SF = "/root/testdata/sf0.01"
+MAX_TOK = 512
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def packed(spark, docs):
+    return pack_sequences(docs, MAX_TOK, shards=8).cache()
+
+
+def test_every_doc_assigned_once(docs, packed):
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+
+
+def test_no_sequence_exceeds_budget(packed):
+    over = (
+        packed.where(~F.col("oversize"))
+        .groupBy("seq_id")
+        .agg(F.sum("n_tokens").alias("t"))
+        .where(F.col("t") > MAX_TOK)
+    )
+    assert over.count() == 0
+    # oversize docs sit alone in their sequence
+    solo = packed.where("oversize").groupBy("seq_id").count().where("count > 1")
+    assert solo.count() == 0
+
+
+def test_matches_python_packer_per_shard(packed):
+    rows = packed.collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.seq_id >> 32, []).append(r)
+    assert len(by_shard) > 1
+    for shard, rs in by_shard.items():
+        want = ffd_pack([(r.doc_id, r.n_tokens) for r in rs], MAX_TOK)
+        got = {r.doc_id: r.seq_id & 0xFFFFFFFF for r in rs}
+        assert got == want
+
+
+def test_deterministic(spark, docs):
+    a = {(r.doc_id, r.seq_id) for r in pack_sequences(docs, MAX_TOK, shards=8).collect()}
+    b = {(r.doc_id, r.seq_id) for r in pack_sequences(docs, MAX_TOK, shards=8).collect()}
+    assert a == b
+
+
+def test_fill_rate_reasonable(packed):
+    st = packing_stats(packed, MAX_TOK).collect()[0]
+    # FFD on many small docs should fill sequences well; even with
+    # per-shard fragmentation the non-oversize fill rate stays high
+    assert st.fill_rate > 0.8
+    assert st.n_seqs > 0
+
+
+def test_stored_token_col_path_skips_udf(spark, docs):
+    pre = docs.withColumn("tok", F.lit(100))
+    out = pack_sequences(pre, MAX_TOK, shards=4, token_col="tok")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # only the FlatMapGroupsInPandas packer itself — no tokenizer UDF
+    assert plan.count("ArrowEvalPython") == 0
+    assert out.where("n_tokens != 100").count() == 0

@@ -143,6 +143,55 @@ def tumbling_agg_stream(
     )
 
 
+def cell_window_agg(
+    pages: DataFrame,
+    res: int = 5,
+    window: str = "1 day",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Geo-cell × tumbling-window rollup: pages per (time bucket,
+    quadgrid cell).  The ingest-monitoring shape of a crawling
+    pipeline — where is the crawl landing, per day — and the batch
+    twin of ``cell_window_stream``.  Cell id is the pure-Column
+    quadgrid expression, so the whole aggregation is JVM codegen with
+    map-side partial aggregation (bounded key space: cells × buckets).
+    """
+    from earth_data_kit_spark.functions.columns import cell_id_col
+
+    return (
+        pages.withColumn("cell", cell_id_col(F.col("lon"), F.col("lat"), res))
+        .groupBy(F.window(ts_col, window).alias("w"), "cell")
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.col("w.start").alias("bucket"), "cell", "n_pages")
+    )
+
+
+def cell_window_stream(
+    spark: SparkSession,
+    parquet_dir: str,
+    schema: str,
+    res: int = 5,
+    window: str = "1 day",
+    watermark: str = "2 days",
+    ts_col: str = "warc_ts",
+    query_name: str = "cells_windowed",
+):
+    """cell_window_agg under readStream: incremental per-micro-batch
+    partial aggregation into windowed state, watermark bounds the
+    state to the late-data horizon.  Memory sink for synchronous
+    smoke runs; stream==batch parity is pytest-pinned."""
+    stream = spark.readStream.schema(schema).parquet(parquet_dir)
+    agg = cell_window_agg(
+        stream.withWatermark(ts_col, watermark), res=res, window=window, ts_col=ts_col
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def exact_dedup_stream(
     spark: SparkSession,
     parquet_dir: str,

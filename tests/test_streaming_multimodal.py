@@ -11,6 +11,40 @@ EVENTS_SCHEMA = (
 )
 
 
+def test_cell_window_stream_matches_batch(spark, tmp_path):
+    """Geo-cell × tumbling-window rollup: stream == batch on the
+    pages table (lat/lon → quadgrid cell inside the streaming agg)."""
+    from earth_data_kit_spark.sources.pages import pages_meta_df
+
+    pages = pages_meta_df(spark, SF).select(
+        "page_id", F.col("ts_s").cast("timestamp").alias("warc_ts"), "lat", "lon"
+    )
+    stream_dir = tmp_path / "pages_stream"
+    pages.coalesce(2).write.parquet(str(stream_dir))
+    stored = spark.read.parquet(str(stream_dir))
+    batch = {
+        (r.bucket, r.cell): r.n_pages
+        for r in windows.cell_window_agg(stored, res=4, window="2 days").collect()
+    }
+    q = windows.cell_window_stream(
+        spark,
+        str(stream_dir),
+        "page_id bigint, warc_ts timestamp, lat double, lon double",
+        res=4,
+        window="2 days",
+        query_name="c_win",
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.bucket, r.cell): r.n_pages
+            for r in spark.sql("SELECT * FROM c_win").collect()
+        }
+        assert got == batch and len(batch) > 10
+    finally:
+        q.stop()
+
+
 def test_streaming_matches_batch(spark, tmp_path):
     import shutil
 

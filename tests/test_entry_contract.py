@@ -61,6 +61,16 @@ def test_query_matches_oracle(spark, ddb, name):
         )
 
 
+def test_driver_query_budget():
+    """The driver records at most 50 CORRECTNESS rows per round
+    (round 2 silently dropped entries 51-55); every entry must have
+    an oracle twin so no gate degrades to rows-only."""
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert len(q) <= 50
+    assert set(o) == set(q)
+
+
 def test_rows_only_queries_run(spark):
     oracle = set(entrymod.oracle_sql())
     for name, q in entrymod.queries().items():

@@ -49,8 +49,16 @@ def s2_leaf_udf():
 
     @pandas_udf("long")
     def _leaf(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        cid = s2.cell_from_latlng(lat.to_numpy(np.float64), lon.to_numpy(np.float64), s2.MAX_LEVEL)
-        return pd.Series(s2.to_spark_i64(cid))
+        la = lat.to_numpy(np.float64)
+        lo = lon.to_numpy(np.float64)
+        bad = np.isnan(la) | np.isnan(lo)
+        if bad.any():  # NULL in → NULL out (never a garbage cell id)
+            la = np.where(bad, 0.0, la)
+            lo = np.where(bad, 0.0, lo)
+        cid = s2.cell_from_latlng(la, lo, s2.MAX_LEVEL)
+        out = pd.Series(s2.to_spark_i64(cid), dtype="Int64")
+        out[bad] = pd.NA
+        return out
 
     return _leaf
 

@@ -354,6 +354,19 @@ class TestPipJoinS2:
                 )
                 assert worst * 6371000.0 >= s2_ring_safe_radius_m(level, ring)
 
+    def test_leaf_udf_nulls_stay_null(self, spark):
+        import pandas as pd
+
+        from earth_data_kit_spark.operators.spatial_join_s2 import s2_leaf_udf
+
+        pdf = pd.DataFrame(
+            {"lon": [10.0, None, 20.0, float("nan")], "lat": [45.0, 5.0, None, 1.0]}
+        )
+        sdf = spark.createDataFrame(pdf)
+        rows = sdf.select(s2_leaf_udf()(F.col("lon"), F.col("lat")).alias("leaf")).collect()
+        assert rows[0].leaf is not None
+        assert rows[1].leaf is None and rows[2].leaf is None and rows[3].leaf is None
+
     def test_parent_col_matches_numpy(self, spark):
         import pandas as pd
 

@@ -11,7 +11,10 @@ replaced manifest (``os.replace``):
   * every write is a new immutable snapshot directory,
   * the manifest names the current snapshot + full history,
   * readers pin a snapshot (time travel) or follow current,
-  * rollback = manifest pointer move.
+  * rollback = manifest pointer move,
+  * per-file column ranges harvested from parquet footers at commit
+    (``stats_cols``) → ``scan()`` skips files before Spark lists
+    them — Iceberg's manifest-stats data skipping.
 
 Swap-to-Iceberg: replace write()/read() bodies with
 ``df.writeTo(table)`` / ``spark.read.table(table)`` — the call sites
@@ -29,6 +32,38 @@ from contextlib import contextmanager
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _collect_file_stats(snap_dir: Path, cols: list[str]) -> dict:
+    """Per-file [min, max] for ``cols`` from parquet FOOTERS — no data
+    pages are read (pyarrow exposes the row-group statistics the
+    writer already embedded).  Driver-side loop over the snapshot's
+    files: bounded by file count, not rows — the same work an Iceberg
+    writer does when it builds its manifest."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for f in sorted(snap_dir.glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        file_stats: dict[str, list] = {}
+        for col in cols:
+            ci = names.get(col)
+            if ci is None:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if ok and lo is not None:
+                file_stats[col] = [lo, hi]
+        out[f.name] = file_stats
+    return out
 
 
 class Catalog:
@@ -61,7 +96,13 @@ class Catalog:
         finally:
             os.close(fd)  # releases the flock
 
-    def write(self, df: DataFrame, table: str, mode: str = "replace") -> int:
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "replace",
+        stats_cols: list[str] | None = None,
+    ) -> int:
         """Commit a new snapshot; returns its id.  ``append`` reads
         the current snapshot and unions (storage-level append would
         just add files; kept simple and explicit here).
@@ -90,8 +131,8 @@ class Catalog:
                 man = self._load_manifest(table)
                 if man["current"] is not None:
                     df = self.read(df.sparkSession, table).unionByName(df)
-                return self._commit_data(df, table, mode, locked=True)
-        return self._commit_data(df, table, mode, locked=False)
+                return self._commit_data(df, table, mode, locked=True, stats_cols=stats_cols)
+        return self._commit_data(df, table, mode, locked=False, stats_cols=stats_cols)
 
     _INFLIGHT_TTL_S = 3600.0
 
@@ -112,12 +153,20 @@ class Catalog:
             if now - p.stat().st_mtime > self._INFLIGHT_TTL_S:
                 p.unlink(missing_ok=True)
 
-    def _commit_data(self, df: DataFrame, table: str, mode: str, locked: bool) -> int:
+    def _commit_data(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str,
+        locked: bool,
+        stats_cols: list[str] | None = None,
+    ) -> int:
         import shutil
 
         inflight = self.base / table / f".snap-inflight-{uuid.uuid4().hex}"
         try:
             df.write.mode("overwrite").parquet(str(inflight))
+            stats = _collect_file_stats(inflight, stats_cols) if stats_cols else None
         except BaseException:
             shutil.rmtree(inflight, ignore_errors=True)
             raise
@@ -129,6 +178,13 @@ class Catalog:
             if man["history"] and snap_id <= man["history"][-1]["id"]:
                 snap_id = man["history"][-1]["id"] + 1
             os.replace(inflight, self.base / table / f"snap-{snap_id}")
+            if stats is not None:
+                # Iceberg-manifest analog: per-file column ranges in a
+                # sidecar named for the snapshot (immutable, so no lock
+                # needed for readers; written before the manifest flip)
+                (self.base / table / f"snap-{snap_id}.stats.json").write_text(
+                    json.dumps(stats)
+                )
             man["history"].append(
                 {"id": snap_id, "committed_at": time.time(), "mode": mode}
             )
@@ -148,6 +204,10 @@ class Catalog:
         os.replace(tmp, self._manifest_path(table))  # atomic commit
 
     def read(self, spark: SparkSession, table: str, snapshot: int | None = None) -> DataFrame:
+        snap = self._resolve_snapshot(table, snapshot)
+        return spark.read.parquet(str(self.base / table / f"snap-{snap}"))
+
+    def _resolve_snapshot(self, table: str, snapshot: int | None) -> int:
         man = self._load_manifest(table)
         snap = snapshot if snapshot is not None else man["current"]
         if snap is None:
@@ -155,7 +215,61 @@ class Catalog:
         ids = {h["id"] for h in man["history"]}
         if snap not in ids:
             raise KeyError(f"unknown snapshot {snap} for {table!r} (have {sorted(ids)})")
-        return spark.read.parquet(str(self.base / table / f"snap-{snap}"))
+        return snap
+
+    def scan(
+        self,
+        spark: SparkSession,
+        table: str,
+        ranges: dict[str, tuple[float, float]],
+        snapshot: int | None = None,
+    ) -> DataFrame:
+        """Stats-pruned read — Iceberg's data-skipping contract.
+
+        ``ranges`` maps column → (lo, hi) inclusive.  Files whose
+        manifest-recorded [min, max] (parquet footer stats harvested
+        at commit, zero data read) don't intersect EVERY range are
+        dropped from the listing before Spark ever sees them — at
+        10^12 rows this is the difference between listing a handful
+        of files and scanning a table.  The range predicates are
+        ALSO applied to the surviving rows, so the result equals
+        ``read().where(...)`` exactly; a file with no recorded stats
+        for a column is conservatively kept.  Requires the snapshot
+        to have been written with ``stats_cols`` covering the range
+        columns (falls back to a plain filtered read otherwise)."""
+        from pyspark.sql import functions as F
+
+        snap = self._resolve_snapshot(table, snapshot)
+        snap_dir = self.base / table / f"snap-{snap}"
+        stats_p = self.base / table / f"snap-{snap}.stats.json"
+
+        def _with_filters(df: DataFrame) -> DataFrame:
+            for col, (lo, hi) in ranges.items():
+                df = df.where((F.col(col) >= lo) & (F.col(col) <= hi))
+            return df
+
+        if not stats_p.exists():
+            return _with_filters(spark.read.parquet(str(snap_dir)))
+        stats: dict[str, dict[str, list]] = json.loads(stats_p.read_text())
+        keep = []
+        for fname, cols in stats.items():
+            ok = True
+            for col, (lo, hi) in ranges.items():
+                rng = cols.get(col)
+                if rng is None:
+                    continue  # no stats → keep (conservative)
+                fmin, fmax = rng
+                if fmin is None or fmax is None:
+                    continue
+                if fmax < lo or fmin > hi:
+                    ok = False
+                    break
+            if ok:
+                keep.append(str(snap_dir / fname))
+        if not keep:
+            # empty result with the right schema
+            return _with_filters(spark.read.parquet(str(snap_dir))).limit(0)
+        return _with_filters(spark.read.parquet(*keep))
 
     def history(self, table: str) -> list[dict]:
         return self._load_manifest(table)["history"]

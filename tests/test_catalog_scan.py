@@ -1,0 +1,75 @@
+"""Catalog manifest-stats data skipping (sources/catalog.py scan):
+file pruning from parquet-footer ranges, exactness vs full read,
+time travel, and the no-stats fallback."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from earth_data_kit_spark.sources.catalog import Catalog
+
+
+@pytest.fixture(scope="module")
+def cat_env(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("cat_scan")
+    cat = Catalog(str(base))
+    rng = np.random.default_rng(2)
+    pdf = pd.DataFrame(
+        {
+            "row_id": np.arange(50_000),
+            "cell": rng.integers(0, 1_000_000, 50_000),
+            "val": rng.normal(size=50_000),
+        }
+    )
+    df = (
+        spark.createDataFrame(pdf)
+        .repartitionByRange(8, F.col("cell"))
+        .sortWithinPartitions("cell")
+    )
+    snap1 = cat.write(df, "pages", stats_cols=["cell"])
+    return cat, snap1, pdf
+
+
+def test_scan_prunes_files_and_matches_full_read(spark, cat_env):
+    cat, snap1, pdf = cat_env
+    full = cat.read(spark, "pages")
+    n_files = len(full.inputFiles())
+    lo, hi = 200_000, 260_000
+    scanned = cat.scan(spark, "pages", {"cell": (lo, hi)})
+    assert len(scanned.inputFiles()) < n_files  # data skipping happened
+    want = pdf[(pdf.cell >= lo) & (pdf.cell <= hi)]
+    got = scanned.toPandas().sort_values("row_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    assert set(got.row_id) == set(want.row_id)
+
+
+def test_scan_empty_range(spark, cat_env):
+    cat, *_ = cat_env
+    out = cat.scan(spark, "pages", {"cell": (5_000_000, 6_000_000)})
+    assert out.count() == 0
+    assert set(out.columns) == {"row_id", "cell", "val"}
+
+
+def test_scan_time_travel_keeps_old_stats(spark, cat_env):
+    cat, snap1, pdf = cat_env
+    # second snapshot with shifted keys; old snapshot must still
+    # prune and return the ORIGINAL rows
+    pdf2 = pdf.assign(cell=pdf.cell + 10_000_000)
+    cat.write(
+        spark.createDataFrame(pdf2).repartitionByRange(8, F.col("cell")),
+        "pages",
+        stats_cols=["cell"],
+    )
+    old = cat.scan(spark, "pages", {"cell": (200_000, 260_000)}, snapshot=snap1)
+    assert old.count() == len(pdf[(pdf.cell >= 200_000) & (pdf.cell <= 260_000)])
+    cur = cat.scan(spark, "pages", {"cell": (200_000, 260_000)})
+    assert cur.count() == 0  # current snapshot's keys all moved
+
+
+def test_scan_without_stats_falls_back(spark, cat_env, tmp_path):
+    cat = Catalog(str(tmp_path / "nostats"))
+    df = spark.range(1000).withColumn("cell", F.col("id") * 7)
+    cat.write(df, "t")  # no stats_cols
+    out = cat.scan(spark, "t", {"cell": (70, 140)})
+    assert out.count() == 11  # cells 70,77,...,140

@@ -430,10 +430,11 @@ def covering_bbox(lat_min: float, lat_max: float, lng_min: float, lng_max: float
         keep.update(int(c) for c in kept)
         if kept.size == 0:
             break
+        if len(keep) > max_cells:  # budget counts KEPT cells, not the
+            # rejected perimeter ring the BFS also visits
+            raise ValueError(f"covering exceeded {max_cells} cells; use a coarser level")
         nbs = edge_neighbors_batch(kept).ravel()
         fresh = [int(c) for c in np.unique(nbs) if int(c) not in seen]
         seen.update(fresh)
-        if len(seen) > max_cells:
-            raise ValueError(f"covering exceeded {max_cells} cells; use a coarser level")
         frontier = np.array(fresh, dtype=np.uint64)
     return sorted(keep)

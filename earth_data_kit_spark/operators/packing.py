@@ -77,6 +77,7 @@ def pack_sequences(
     if token_col is None:
         docs = docs.withColumn("n_tokens", token_count_udf(F.col(text_col)))
         token_col = "n_tokens"
+    id_type = docs.schema[id_col].dataType.simpleString()  # string ids work too
     counted = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(token_col).cast("long").alias("n_tokens"),
@@ -94,7 +95,7 @@ def pack_sequences(
         return pdf[["doc_id", "n_tokens", "seq_id", "oversize"]]
 
     return counted.groupBy("shard").applyInPandas(
-        _pack, "doc_id long, n_tokens long, seq_id long, oversize boolean"
+        _pack, f"doc_id {id_type}, n_tokens long, seq_id long, oversize boolean"
     )
 
 
@@ -103,10 +104,12 @@ def packing_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
     packed tokens / (sequences × max_tokens), the padding-waste
     metric packing exists to optimize."""
     per_seq = packed.groupBy("seq_id").agg(
+        F.count("*").alias("n_docs_seq"),
         F.sum("n_tokens").alias("seq_tokens"),
         F.max(F.col("oversize").cast("int")).alias("has_oversize"),
     )
     return per_seq.agg(
+        F.sum("n_docs_seq").alias("n_docs"),
         F.sum(F.lit(1)).alias("n_seqs"),
         F.sum("has_oversize").alias("n_oversize"),
         (

@@ -51,7 +51,7 @@ def s2_leaf_udf():
     def _leaf(lon: pd.Series, lat: pd.Series) -> pd.Series:
         la = lat.to_numpy(np.float64)
         lo = lon.to_numpy(np.float64)
-        bad = np.isnan(la) | np.isnan(lo)
+        bad = ~np.isfinite(la) | ~np.isfinite(lo)  # NaN AND ±Inf
         if bad.any():  # NULL in → NULL out (never a garbage cell id)
             la = np.where(bad, 0.0, la)
             lo = np.where(bad, 0.0, lo)
@@ -152,6 +152,25 @@ def s2_query_rings_df(
     )
 
 
+def _s2_indexed_points(
+    points: DataFrame,
+    id_col: str,
+    lon_col: str,
+    lat_col: str,
+    leaf_col: str | None,
+    level: int,
+) -> DataFrame:
+    """(id, lon, lat, _s2k) projection — narrow BEFORE the join so
+    the candidate stream and top-k shuffle carry 3 columns, not the
+    full page row (matches knn.knn_join's projection)."""
+    cols = [id_col, lon_col, lat_col] + ([leaf_col] if leaf_col else [])
+    pts = points.select(*cols)
+    if leaf_col is None:
+        pts = pts.withColumn("s2_leaf", s2_leaf_udf()(F.col(lon_col), F.col(lat_col)))
+        leaf_col = "s2_leaf"
+    return pts.withColumn("_s2k", s2_prefix_key_col(F.col(leaf_col), level)).drop(leaf_col)
+
+
 def knn_join_s2(
     points: DataFrame,
     queries: list[tuple[int, float, float]],
@@ -162,26 +181,69 @@ def knn_join_s2(
     lon_col: str = "lon",
     lat_col: str = "lat",
     leaf_col: str | None = None,
+    auto_grow: bool = False,
+    max_ring: int = 512,
 ) -> DataFrame:
     """Top-K nearest points per query over the REAL S2 index — the
     north rule's "kNN via k-ring expansion with distance re-rank"
-    running on genuine S2 cells.  Same output contract and the same
-    two-level JVM top-k as the quadgrid ``knn.knn_join`` (reused);
-    exact within ``s2_ring_safe_radius_m(level, ring)`` of each
-    query.  Engine-parity with knn_join is pytest-pinned
-    (tests/test_s2.py).  Pass ``leaf_col`` for stored-leaf tables
-    (zero Python at query time)."""
+    running on genuine S2 cells; two-level JVM top-k shared with the
+    quadgrid ``knn.knn_join``.
+
+    Exactness contract: results are exact within
+    ``s2_ring_safe_radius_m(level, ring)`` of each query.  With the
+    FIXED default ring a sparse region whose true k-th neighbor lies
+    beyond that radius returns nearer-ring candidates only — pass
+    ``auto_grow=True`` to verify sufficiency and widen: one probe
+    pass per growth counts candidates and the k-th distance per query
+    (|queries| rows collected), growing until the k-th distance is
+    inside the ring's guaranteed radius, mirroring knn_join's
+    auto_grow.  Pass ``leaf_col`` for stored-leaf tables (zero Python
+    at query time); engine-parity is pytest-pinned (tests/test_s2.py).
+    """
+    from pyspark.sql import Window
+
     from earth_data_kit_spark.functions.columns import haversine_m_col
     from earth_data_kit_spark.operators.knn import _topk
 
     spark = points.sparkSession
-    rings = s2_query_rings_df(spark, queries, level, ring)
-    if leaf_col is None:
-        points = points.withColumn("s2_leaf", s2_leaf_udf()(F.col(lon_col), F.col(lat_col)))
-        leaf_col = "s2_leaf"
-    pts = points.withColumn("_s2k", s2_prefix_key_col(F.col(leaf_col), level))
-    cand = pts.join(F.broadcast(rings), "_s2k")
+    pts = _s2_indexed_points(points, id_col, lon_col, lat_col, leaf_col, level)
+    if auto_grow:
+        pts = pts.persist()
     dist = haversine_m_col(F.col("qlat"), F.col("qlon"), F.col(lat_col), F.col(lon_col))
+    try:
+        while True:
+            rings = s2_query_rings_df(spark, queries, level, ring)
+            cand = pts.join(F.broadcast(rings), "_s2k")
+            if not auto_grow or ring >= max_ring:
+                break
+            wk = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc())
+            stats = (
+                cand.withColumn("dist_m", dist)
+                .withColumn("rn", F.row_number().over(wk))
+                .groupBy("query_id")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.min(F.when(F.col("rn") == k, F.col("dist_m"))).alias("dk"),
+                )
+                .collect()
+            )
+            by_q = {r["query_id"]: (r["n"], r["dk"]) for r in stats}
+            need = ring
+            for qid, _, _ in queries:
+                n, dk = by_q.get(qid, (0, None))
+                if dk is None:  # starved: fewer than k candidates
+                    need = max(need, ring * 2)
+                elif s2_ring_safe_radius_m(level, ring) < dk:
+                    r2 = ring
+                    while r2 < max_ring and s2_ring_safe_radius_m(level, r2) < dk:
+                        r2 += 2
+                    need = max(need, r2)
+            if need <= ring:
+                break
+            ring = min(max_ring, need)
+    finally:
+        if auto_grow:
+            pts.unpersist()
     scored = cand.withColumn("dist_m", dist).select("query_id", id_col, "dist_m")
     return _topk(scored, k, id_col)
 
@@ -200,8 +262,6 @@ def radius_join_s2(
     is grown until s2_ring_safe_radius_m covers the radius, then the
     haversine predicate refines.  Output (query_id, <id_col>, dist_m).
     """
-    import math
-
     from earth_data_kit_spark.functions.columns import haversine_m_col
 
     ring = 2
@@ -211,10 +271,7 @@ def radius_join_s2(
             raise ValueError("radius too large for this level; use a coarser level")
     spark = points.sparkSession
     rings = s2_query_rings_df(spark, queries, level, ring)
-    if leaf_col is None:
-        points = points.withColumn("s2_leaf", s2_leaf_udf()(F.col(lon_col), F.col(lat_col)))
-        leaf_col = "s2_leaf"
-    pts = points.withColumn("_s2k", s2_prefix_key_col(F.col(leaf_col), level))
+    pts = _s2_indexed_points(points, id_col, lon_col, lat_col, leaf_col, level)
     dist = haversine_m_col(F.col("qlat"), F.col("qlon"), F.col(lat_col), F.col(lon_col))
     return (
         pts.join(F.broadcast(rings), "_s2k")

@@ -35,6 +35,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # INT64 micros, not legacy INT96: INT96 writes NO footer
+        # min/max, which kills timestamp data skipping (catalog scan,
+        # parquet row-group pruning) — and Iceberg forbids INT96 too
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

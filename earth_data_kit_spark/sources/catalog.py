@@ -34,12 +34,36 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _stat_value(v):
+    """JSON-storable form of a parquet min/max, or None if the type
+    has no faithful, comparison-preserving JSON encoding.  datetimes/
+    dates become ISO strings (lexicographic == chronological, so
+    scan()'s interval test still works against ISO-string ranges);
+    bytes and anything exotic drop to None → the file is kept
+    conservatively rather than mis-pruned."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bool) or v is None:
+        return None  # boolean ranges are useless for pruning
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return None
+
+
 def _collect_file_stats(snap_dir: Path, cols: list[str]) -> dict:
     """Per-file [min, max] for ``cols`` from parquet FOOTERS — no data
     pages are read (pyarrow exposes the row-group statistics the
     writer already embedded).  Driver-side loop over the snapshot's
     files: bounded by file count, not rows — the same work an Iceberg
-    writer does when it builds its manifest."""
+    writer does when it builds its manifest.  Values are sanitized to
+    JSON-storable forms HERE (inside the commit's try block) so a
+    non-serializable stat can never fail the commit after the
+    snapshot rename."""
     import pyarrow.parquet as pq
 
     out: dict[str, dict[str, list]] = {}
@@ -60,9 +84,13 @@ def _collect_file_stats(snap_dir: Path, cols: list[str]) -> dict:
                     break
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
-            if ok and lo is not None:
+            lo, hi = _stat_value(lo), _stat_value(hi)
+            if ok and lo is not None and hi is not None:
                 file_stats[col] = [lo, hi]
         out[f.name] = file_stats
+    # fail HERE (caller's try block cleans the in-flight dir) rather
+    # than after the snapshot rename if anything slipped through
+    json.dumps(out)
     return out
 
 
@@ -236,7 +264,10 @@ class Catalog:
         ``read().where(...)`` exactly; a file with no recorded stats
         for a column is conservatively kept.  Requires the snapshot
         to have been written with ``stats_cols`` covering the range
-        columns (falls back to a plain filtered read otherwise)."""
+        columns (falls back to a plain filtered read otherwise).
+        Timestamp/date stats are stored as ISO strings (lexicographic
+        order == chronological) — pass ISO strings as that column's
+        (lo, hi)."""
         from pyspark.sql import functions as F
 
         snap = self._resolve_snapshot(table, snapshot)

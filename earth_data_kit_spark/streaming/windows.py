@@ -177,15 +177,20 @@ def cell_window_stream(
     query_name: str = "cells_windowed",
 ):
     """cell_window_agg under readStream: incremental per-micro-batch
-    partial aggregation into windowed state, watermark bounds the
-    state to the late-data horizon.  Memory sink for synchronous
-    smoke runs; stream==batch parity is pytest-pinned."""
+    partial aggregation into windowed state.  UPDATE output mode —
+    under ``complete`` Spark never evicts window state, so the
+    watermark would be dead weight; under ``update`` state for
+    windows older than the watermark is dropped, bounding the store
+    to the late-data horizon (the long-running-ingest requirement).
+    Memory-sink caveat: the sink table accumulates one row per
+    UPDATE, so a reader takes the LAST row per (bucket, cell); the
+    single-batch parity test sees exactly one emission per key."""
     stream = spark.readStream.schema(schema).parquet(parquet_dir)
     agg = cell_window_agg(
         stream.withWatermark(ts_col, watermark), res=res, window=window, ts_col=ts_col
     )
     return (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode("update")
         .format("memory")
         .queryName(query_name)
         .start()

@@ -67,6 +67,30 @@ def test_scan_time_travel_keeps_old_stats(spark, cat_env):
     assert cur.count() == 0  # current snapshot's keys all moved
 
 
+def test_timestamp_stats_commit_and_prune(spark, tmp_path):
+    """Timestamp stats serialize as ISO strings — the commit must not
+    fail (nor orphan a snapshot) and ISO-string ranges prune."""
+    cat = Catalog(str(tmp_path / "ts"))
+    df = spark.range(10_000).select(
+        F.col("id"),
+        F.expr("timestamp'2017-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*60)").alias("ts"),
+    ).repartitionByRange(4, F.col("ts")).sortWithinPartitions("ts")
+    cat.write(df, "events", stats_cols=["ts"])
+    full = cat.read(spark, "events")
+    out = cat.scan(
+        spark, "events", {"ts": ("2017-01-02T00:00:00", "2017-01-02T23:59:59")}
+    )
+    # string bounds compare against the timestamp column after cast
+    n = full.where(
+        (F.col("ts") >= "2017-01-02T00:00:00") & (F.col("ts") <= "2017-01-02T23:59:59")
+    ).count()
+    assert out.count() == n > 0
+    assert len(out.inputFiles()) < len(full.inputFiles())
+    # no orphaned unreferenced snapshot dirs
+    snaps = {p.name for p in (cat.base / "events").glob("snap-*") if p.is_dir()}
+    assert snaps == {f"snap-{h['id']}" for h in cat.history("events")}
+
+
 def test_scan_without_stats_falls_back(spark, cat_env, tmp_path):
     cat = Catalog(str(tmp_path / "nostats"))
     df = spark.range(1000).withColumn("cell", F.col("id") * 7)

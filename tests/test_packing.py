@@ -67,6 +67,7 @@ def test_fill_rate_reasonable(packed):
     # per-shard fragmentation the non-oversize fill rate stays high
     assert st.fill_rate > 0.8
     assert st.n_seqs > 0
+    assert st.n_docs == packed.count()
 
 
 def test_stored_token_col_path_skips_udf(spark, docs):

@@ -302,6 +302,27 @@ class TestPipJoinS2:
             key(r): (r.page_id, round(r.dist_m, 6)) for r in exact
         }
 
+    def test_knn_auto_grow_reaches_sparse_neighbors(self, spark, pages_df):
+        """A remote-ocean query whose k-th neighbor is far outside
+        the default ring: auto_grow must widen until it matches brute
+        force (the fixed default ring documented-ly cannot)."""
+        from earth_data_kit_spark.operators.knn import knn_brute_force
+        from earth_data_kit_spark.operators.spatial_join_s2 import knn_join_s2
+
+        queries = [(7, -48.0, -120.0)]  # south pacific, sparse
+        k = 3
+        exact = {
+            (r.query_id, r.rank): r.page_id
+            for r in knn_brute_force(pages_df, queries, k).collect()
+        }
+        grown = {
+            (r.query_id, r.rank): r.page_id
+            for r in knn_join_s2(
+                pages_df, queries, k, level=7, ring=2, auto_grow=True
+            ).collect()
+        }
+        assert grown == exact
+
     def test_radius_join_parity_with_quadgrid(self, spark, pages_df):
         from earth_data_kit_spark.operators.knn import radius_join
         from earth_data_kit_spark.operators.spatial_join_s2 import radius_join_s2

@@ -131,36 +131,26 @@ class Catalog:
         mode: str = "replace",
         stats_cols: list[str] | None = None,
     ) -> int:
-        """Commit a new snapshot; returns its id.  ``append`` reads
-        the current snapshot and unions (storage-level append would
-        just add files; kept simple and explicit here).
+        """Commit a new snapshot; returns its id.
 
-        Concurrency-safe commit protocol (the Iceberg analog):
-        REPLACE writes its data into a uniquely named in-flight
-        directory WITHOUT any lock (the long part), then the manifest
-        read-modify-write — rename in-flight dir to snap-{id}, append
-        history, flip current — happens under the table's commit
-        lock, so two writers interleaving never lose each other's
-        snapshots.  APPEND holds the lock across read-current + union
-        + write too: its read of the current snapshot is part of the
-        transaction — done outside the lock, two concurrent appends
-        would each union the SAME base and the second commit would
-        silently drop the first's rows from current (they'd survive
-        only as an orphaned history snapshot).  Appends therefore
-        serialize; that is the price of read-modify-write without a
-        real table format, and exactly what Iceberg's
-        validate+retry commit loop replaces.
+        Concurrency-safe commit protocol (the Iceberg analog): BOTH
+        modes write their data into a uniquely named in-flight
+        directory WITHOUT any lock (the long part).  A snapshot is a
+        LIST of immutable data dirs; ``append`` is O(delta) — it
+        never reads or rewrites existing data, it resolves the
+        current snapshot's dir list AT LOCK TIME and adds its own
+        dir, so interleaved appends compose instead of dropping each
+        other.  Only the manifest flip (rename in-flight dir, extend
+        history, move current) serializes under the table's flock —
+        Iceberg's optimistic-append commit shape.  ``stats_cols``
+        harvests per-file column ranges into the snapshot's stats
+        sidecar (appends merge the parent sidecar) for ``scan()``
+        data skipping.
 
         A writer dying mid-commit leaks only a ``.snap-inflight-*``
         directory; the failure path removes it eagerly and every
         locked commit sweeps leftovers older than an hour."""
-        if mode == "append":
-            with self._commit_lock(table):
-                man = self._load_manifest(table)
-                if man["current"] is not None:
-                    df = self.read(df.sparkSession, table).unionByName(df)
-                return self._commit_data(df, table, mode, locked=True, stats_cols=stats_cols)
-        return self._commit_data(df, table, mode, locked=False, stats_cols=stats_cols)
+        return self._commit_data(df, table, mode, stats_cols=stats_cols)
 
     _INFLIGHT_TTL_S = 3600.0
 
@@ -186,44 +176,61 @@ class Catalog:
         df: DataFrame,
         table: str,
         mode: str,
-        locked: bool,
         stats_cols: list[str] | None = None,
     ) -> int:
+        """O(delta) commits: the data write (the long part) happens
+        OUTSIDE the lock for BOTH modes — append never reads or
+        rewrites existing data.  A snapshot is a LIST of immutable
+        data dirs: replace starts a fresh list; append takes the
+        current snapshot's list AT LOCK TIME (so interleaved appends
+        compose instead of dropping each other) and adds its own dir.
+        Only the manifest flip serializes — Iceberg's optimistic-
+        append shape."""
         import shutil
 
         inflight = self.base / table / f".snap-inflight-{uuid.uuid4().hex}"
         try:
             df.write.mode("overwrite").parquet(str(inflight))
-            stats = _collect_file_stats(inflight, stats_cols) if stats_cols else None
+            new_stats = _collect_file_stats(inflight, stats_cols) if stats_cols else None
         except BaseException:
             shutil.rmtree(inflight, ignore_errors=True)
             raise
 
-        def _finish() -> int:
+        with self._commit_lock(table):
             self._sweep_inflight(table)
             man = self._load_manifest(table)
             snap_id = int(time.time() * 1000)
             if man["history"] and snap_id <= man["history"][-1]["id"]:
                 snap_id = man["history"][-1]["id"] + 1
-            os.replace(inflight, self.base / table / f"snap-{snap_id}")
-            if stats is not None:
-                # Iceberg-manifest analog: per-file column ranges in a
-                # sidecar named for the snapshot (immutable, so no lock
-                # needed for readers; written before the manifest flip)
+            own_dir = f"snap-{snap_id}"
+            os.replace(inflight, self.base / table / own_dir)
+            dirs = [own_dir]
+            stats = dict(new_stats or {})
+            stats = {f"{own_dir}/{k}": v for k, v in stats.items()}
+            if mode == "append" and man["current"] is not None:
+                cur = next(h for h in man["history"] if h["id"] == man["current"])
+                dirs = self._entry_dirs(cur) + dirs
+                parent_sidecar = self.base / table / f"snap-{man['current']}.stats.json"
+                if parent_sidecar.exists():
+                    stats = {**json.loads(parent_sidecar.read_text()), **stats}
+            if new_stats is not None or (mode == "append" and len(dirs) > 1 and stats):
+                # Iceberg-manifest analog: per-file column ranges in an
+                # immutable per-snapshot sidecar (relative-path keys),
+                # written before the manifest flip
                 (self.base / table / f"snap-{snap_id}.stats.json").write_text(
                     json.dumps(stats)
                 )
             man["history"].append(
-                {"id": snap_id, "committed_at": time.time(), "mode": mode}
+                {"id": snap_id, "committed_at": time.time(), "mode": mode, "dirs": dirs}
             )
             man["current"] = snap_id
             self._replace_manifest(table, man)
             return snap_id
 
-        if locked:
-            return _finish()
-        with self._commit_lock(table):
-            return _finish()
+    @staticmethod
+    def _entry_dirs(entry: dict) -> list[str]:
+        """Data dirs of a history entry (pre-dirs manifests: its own)."""
+        return list(entry.get("dirs", [f"snap-{entry['id']}"]))
 
     def _replace_manifest(self, table: str, man: dict) -> None:
         tmp = self._manifest_path(table).with_suffix(f".json.tmp-{uuid.uuid4().hex}")
@@ -232,18 +239,19 @@ class Catalog:
         os.replace(tmp, self._manifest_path(table))  # atomic commit
 
     def read(self, spark: SparkSession, table: str, snapshot: int | None = None) -> DataFrame:
-        snap = self._resolve_snapshot(table, snapshot)
-        return spark.read.parquet(str(self.base / table / f"snap-{snap}"))
+        _, dirs = self._resolve_snapshot(table, snapshot)
+        return spark.read.parquet(*[str(self.base / table / d) for d in dirs])
 
-    def _resolve_snapshot(self, table: str, snapshot: int | None) -> int:
+    def _resolve_snapshot(self, table: str, snapshot: int | None) -> tuple[int, list[str]]:
         man = self._load_manifest(table)
         snap = snapshot if snapshot is not None else man["current"]
         if snap is None:
             raise FileNotFoundError(f"catalog table {table!r} has no snapshots")
-        ids = {h["id"] for h in man["history"]}
-        if snap not in ids:
-            raise KeyError(f"unknown snapshot {snap} for {table!r} (have {sorted(ids)})")
-        return snap
+        entry = next((h for h in man["history"] if h["id"] == snap), None)
+        if entry is None:
+            ids = sorted(h["id"] for h in man["history"])
+            raise KeyError(f"unknown snapshot {snap} for {table!r} (have {ids})")
+        return snap, self._entry_dirs(entry)
 
     def scan(
         self,
@@ -270,36 +278,43 @@ class Catalog:
         (lo, hi)."""
         from pyspark.sql import functions as F
 
-        snap = self._resolve_snapshot(table, snapshot)
-        snap_dir = self.base / table / f"snap-{snap}"
-        stats_p = self.base / table / f"snap-{snap}.stats.json"
+        snap, dirs = self._resolve_snapshot(table, snapshot)
+        tdir = self.base / table
+        stats_p = tdir / f"snap-{snap}.stats.json"
 
         def _with_filters(df: DataFrame) -> DataFrame:
             for col, (lo, hi) in ranges.items():
                 df = df.where((F.col(col) >= lo) & (F.col(col) <= hi))
             return df
 
+        all_dirs = [str(tdir / d) for d in dirs]
         if not stats_p.exists():
-            return _with_filters(spark.read.parquet(str(snap_dir)))
+            return _with_filters(spark.read.parquet(*all_dirs))
         stats: dict[str, dict[str, list]] = json.loads(stats_p.read_text())
+        # walk the snapshot's actual file listing; a file the sidecar
+        # doesn't know (e.g. appended without stats_cols) is KEPT —
+        # pruning must only ever drop provably-out-of-range files
         keep = []
-        for fname, cols in stats.items():
-            ok = True
-            for col, (lo, hi) in ranges.items():
-                rng = cols.get(col)
-                if rng is None:
-                    continue  # no stats → keep (conservative)
-                fmin, fmax = rng
-                if fmin is None or fmax is None:
-                    continue
-                if fmax < lo or fmin > hi:
-                    ok = False
-                    break
-            if ok:
-                keep.append(str(snap_dir / fname))
+        for d in dirs:
+            for f in sorted((tdir / d).glob("*.parquet")):
+                cols = stats.get(f"{d}/{f.name}")
+                ok = True
+                if cols is not None:
+                    for col, (lo, hi) in ranges.items():
+                        rng = cols.get(col)
+                        if rng is None:
+                            continue  # no stats for this column → keep
+                        fmin, fmax = rng
+                        if fmin is None or fmax is None:
+                            continue
+                        if fmax < lo or fmin > hi:
+                            ok = False
+                            break
+                if ok:
+                    keep.append(str(f))
         if not keep:
             # empty result with the right schema
-            return _with_filters(spark.read.parquet(str(snap_dir))).limit(0)
+            return _with_filters(spark.read.parquet(*all_dirs)).limit(0)
         return _with_filters(spark.read.parquet(*keep))
 
     def history(self, table: str) -> list[dict]:

@@ -91,6 +91,57 @@ def test_timestamp_stats_commit_and_prune(spark, tmp_path):
     assert snaps == {f"snap-{h['id']}" for h in cat.history("events")}
 
 
+def test_append_is_o_delta_and_scan_prunes_across_dirs(spark, tmp_path):
+    """Append writes ONLY the delta (old snapshot dir untouched), the
+    new snapshot lists both dirs, and scan prunes using the merged
+    sidecar across old + new files."""
+    cat = Catalog(str(tmp_path / "ap"))
+    df1 = (
+        spark.range(0, 20_000)
+        .withColumn("cell", F.col("id"))
+        .repartitionByRange(4, F.col("cell"))
+        .sortWithinPartitions("cell")
+    )
+    s1 = cat.write(df1, "t", stats_cols=["cell"])
+    dir1 = cat.base / "t" / f"snap-{s1}"
+    before = {p.name: p.stat().st_mtime for p in dir1.glob("*.parquet")}
+    df2 = (
+        spark.range(100_000, 120_000)
+        .withColumn("cell", F.col("id"))
+        .repartitionByRange(4, F.col("cell"))
+        .sortWithinPartitions("cell")
+    )
+    s2 = cat.write(df2, "t", mode="append", stats_cols=["cell"])
+    # O(delta): snapshot-1 files untouched by the append
+    after = {p.name: p.stat().st_mtime for p in dir1.glob("*.parquet")}
+    assert after == before
+    assert cat.read(spark, "t").count() == 40_000
+    assert cat.read(spark, "t", snapshot=s1).count() == 20_000
+    # scan hits only old-dir files for an old-range query...
+    old_rng = cat.scan(spark, "t", {"cell": (5_000, 6_000)})
+    assert old_rng.count() == 1_001
+    assert all(f"snap-{s1}" in f for f in old_rng.inputFiles())
+    # ...and only new-dir files for a new-range query
+    new_rng = cat.scan(spark, "t", {"cell": (110_000, 111_000)})
+    assert new_rng.count() == 1_001
+    assert all(f"snap-{s2}" in f for f in new_rng.inputFiles())
+
+
+def test_append_without_stats_keeps_new_files(spark, tmp_path):
+    """An append committed WITHOUT stats_cols must still be fully
+    visible to scan (unlisted files are kept conservatively)."""
+    cat = Catalog(str(tmp_path / "ap2"))
+    cat.write(
+        spark.range(0, 1_000).withColumn("cell", F.col("id")), "t", stats_cols=["cell"]
+    )
+    cat.write(
+        spark.range(500, 1_500).withColumn("cell", F.col("id")), "t", mode="append"
+    )
+    out = cat.scan(spark, "t", {"cell": (400, 600)})
+    # 400-600 from snap1 (201) + 500-600 from snap2 (101)
+    assert out.count() == 302
+
+
 def test_scan_without_stats_falls_back(spark, cat_env, tmp_path):
     cat = Catalog(str(tmp_path / "nostats"))
     df = spark.range(1000).withColumn("cell", F.col("id") * 7)

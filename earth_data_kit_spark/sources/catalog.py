@@ -320,6 +320,48 @@ class Catalog:
     def history(self, table: str) -> list[dict]:
         return self._load_manifest(table)["history"]
 
+    def compact(self, table: str, spark: SparkSession, stats_cols: list[str] | None = None) -> int:
+        """Rewrite the current snapshot's dir list into ONE fresh dir
+        (a replace commit of read()) — the maintenance pass a long
+        append chain needs; history keeps the old snapshots for time
+        travel until expire_snapshots drops them."""
+        return self.write(self.read(spark, table), table, mode="replace", stats_cols=stats_cols)
+
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> list[int]:
+        """Garbage collection: drop all but the last ``keep_last``
+        history entries (the current snapshot is always kept), then
+        delete data dirs and stats sidecars no retained snapshot
+        references.  Dirs are SHARED across append chains, so
+        deletion is computed from the retained entries' dir lists —
+        never from snapshot ids.  Returns the expired snapshot ids."""
+        import shutil
+
+        with self._commit_lock(table):
+            man = self._load_manifest(table)
+            hist = man["history"]
+            if len(hist) <= keep_last:
+                return []
+            keep_entries = hist[-keep_last:]
+            if man["current"] is not None and all(
+                h["id"] != man["current"] for h in keep_entries
+            ):
+                keep_entries = [
+                    next(h for h in hist if h["id"] == man["current"])
+                ] + keep_entries
+            keep_ids = {h["id"] for h in keep_entries}
+            expired = [h["id"] for h in hist if h["id"] not in keep_ids]
+            referenced = {d for h in keep_entries for d in self._entry_dirs(h)}
+            for h in hist:
+                if h["id"] in keep_ids:
+                    continue
+                for d in self._entry_dirs(h):
+                    if d not in referenced:
+                        shutil.rmtree(self.base / table / d, ignore_errors=True)
+                (self.base / table / f"snap-{h['id']}.stats.json").unlink(missing_ok=True)
+            man["history"] = [h for h in hist if h["id"] in keep_ids]
+            self._replace_manifest(table, man)
+            return expired
+
     def rollback(self, table: str, snapshot: int) -> None:
         with self._commit_lock(table):
             man = self._load_manifest(table)

@@ -142,6 +142,36 @@ def test_append_without_stats_keeps_new_files(spark, tmp_path):
     assert out.count() == 302
 
 
+def test_compact_and_expire(spark, tmp_path):
+    cat = Catalog(str(tmp_path / "gc"))
+    mk = lambda lo: spark.range(lo, lo + 1_000).withColumn("cell", F.col("id"))
+    s1 = cat.write(mk(0), "t", stats_cols=["cell"])
+    s2 = cat.write(mk(1_000), "t", mode="append", stats_cols=["cell"])
+    s3 = cat.write(mk(2_000), "t", mode="append", stats_cols=["cell"])
+    assert len(cat.read(spark, "t").inputFiles()) > len(
+        cat.read(spark, "t", snapshot=s1).inputFiles()
+    )
+
+    # shared-dir safety: expiring s1/s2's ENTRIES must not delete
+    # their dirs while s3 (kept) still references them
+    expired = cat.expire_snapshots("t", keep_last=1)
+    assert expired == [s1, s2]
+    assert cat.read(spark, "t").count() == 3_000
+    with pytest.raises(KeyError):
+        cat.read(spark, "t", snapshot=s1)
+
+    s4 = cat.compact("t", spark, stats_cols=["cell"])
+    assert cat.read(spark, "t").count() == 3_000
+    assert [h["id"] for h in cat.history("t")] == [s3, s4]
+    # now s3's entry expires AND its dirs are unreferenced → deleted
+    assert cat.expire_snapshots("t", keep_last=1) == [s3]
+    dirs_left = {p.name for p in (cat.base / "t").glob("snap-*") if p.is_dir()}
+    assert dirs_left == {f"snap-{s4}"}
+    # compacted snapshot still scans with stats
+    out = cat.scan(spark, "t", {"cell": (2_500, 2_600)})
+    assert out.count() == 101
+
+
 def test_scan_without_stats_falls_back(spark, cat_env, tmp_path):
     cat = Catalog(str(tmp_path / "nostats"))
     df = spark.range(1000).withColumn("cell", F.col("id") * 7)

@@ -94,6 +94,11 @@ def _collect_file_stats(snap_dir: Path, cols: list[str]) -> dict:
     return out
 
 
+class SnapshotConflict(RuntimeError):
+    """A commit's base snapshot was superseded before it could flip
+    the manifest (optimistic-concurrency abort; the caller retries)."""
+
+
 class Catalog:
     def __init__(self, base_dir: str):
         self.base = Path(base_dir)
@@ -177,6 +182,7 @@ class Catalog:
         table: str,
         mode: str,
         stats_cols: list[str] | None = None,
+        require_base: int | None = None,
     ) -> int:
         """O(delta) commits: the data write (the long part) happens
         OUTSIDE the lock for BOTH modes — append never reads or
@@ -189,6 +195,7 @@ class Catalog:
         import shutil
 
         inflight = self.base / table / f".snap-inflight-{uuid.uuid4().hex}"
+        schema_map = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         try:
             df.write.mode("overwrite").parquet(str(inflight))
             new_stats = _collect_file_stats(inflight, stats_cols) if stats_cols else None
@@ -197,23 +204,51 @@ class Catalog:
             raise
 
         with self._commit_lock(table):
-            self._sweep_inflight(table)
             man = self._load_manifest(table)
+            if mode == "append" and man["current"] is not None:
+                # schema compatibility: the dir-list append never unions,
+                # so validate explicitly (unionByName used to raise here);
+                # mixed-schema dirs would otherwise read back silently
+                # wrong (missing columns null, extras dropped)
+                cur = next(h for h in man["history"] if h["id"] == man["current"])
+                cur_schema = cur.get("schema")
+                if cur_schema is not None and cur_schema != schema_map:
+                    shutil.rmtree(inflight, ignore_errors=True)
+                    raise ValueError(
+                        f"append schema mismatch for {table!r}: "
+                        f"table has {cur_schema}, append brings {schema_map}"
+                    )
+            if require_base is not None and man["current"] != require_base:
+                # optimistic-concurrency validation (compact): the
+                # snapshot this commit was derived from is no longer
+                # current — abort, caller retries against the new base
+                shutil.rmtree(inflight, ignore_errors=True)
+                raise SnapshotConflict(
+                    f"base snapshot {require_base} superseded by {man['current']}"
+                )
+            self._sweep_inflight(table)
             snap_id = int(time.time() * 1000)
             if man["history"] and snap_id <= man["history"][-1]["id"]:
                 snap_id = man["history"][-1]["id"] + 1
             own_dir = f"snap-{snap_id}"
             os.replace(inflight, self.base / table / own_dir)
             dirs = [own_dir]
-            stats = dict(new_stats or {})
-            stats = {f"{own_dir}/{k}": v for k, v in stats.items()}
+            stats = {f"{own_dir}/{k}": v for k, v in (new_stats or {}).items()}
             if mode == "append" and man["current"] is not None:
-                cur = next(h for h in man["history"] if h["id"] == man["current"])
-                dirs = self._entry_dirs(cur) + dirs
+                parent = next(h for h in man["history"] if h["id"] == man["current"])
+                dirs = self._entry_dirs(parent) + dirs
                 parent_sidecar = self.base / table / f"snap-{man['current']}.stats.json"
                 if parent_sidecar.exists():
-                    stats = {**json.loads(parent_sidecar.read_text()), **stats}
-            if new_stats is not None or (mode == "append" and len(dirs) > 1 and stats):
+                    pstats = json.loads(parent_sidecar.read_text())
+                    # migrate pre-dir-list sidecars (bare filenames →
+                    # that snapshot's own single dir) so old pruning
+                    # info survives the append merge
+                    pstats = {
+                        (k if "/" in k else f"snap-{man['current']}/{k}"): v
+                        for k, v in pstats.items()
+                    }
+                    stats = {**pstats, **stats}
+            if stats:
                 # Iceberg-manifest analog: per-file column ranges in an
                 # immutable per-snapshot sidecar (relative-path keys),
                 # written before the manifest flip
@@ -221,7 +256,13 @@ class Catalog:
                     json.dumps(stats)
                 )
             man["history"].append(
-                {"id": snap_id, "committed_at": time.time(), "mode": mode, "dirs": dirs}
+                {
+                    "id": snap_id,
+                    "committed_at": time.time(),
+                    "mode": mode,
+                    "dirs": dirs,
+                    "schema": schema_map,
+                }
             )
             man["current"] = snap_id
             self._replace_manifest(table, man)
@@ -287,6 +328,13 @@ class Catalog:
                 df = df.where((F.col(col) >= lo) & (F.col(col) <= hi))
             return df
 
+        missing = [d for d in dirs if not (tdir / d).is_dir()]
+        if missing:
+            # a concurrently-expired snapshot must FAIL like read()
+            # would, not silently return the surviving dirs' subset
+            raise FileNotFoundError(
+                f"snapshot {snap} of {table!r} lost data dirs {missing} (expired?)"
+            )
         all_dirs = [str(tdir / d) for d in dirs]
         if not stats_p.exists():
             return _with_filters(spark.read.parquet(*all_dirs))
@@ -298,6 +346,9 @@ class Catalog:
         for d in dirs:
             for f in sorted((tdir / d).glob("*.parquet")):
                 cols = stats.get(f"{d}/{f.name}")
+                if cols is None and len(dirs) == 1:
+                    # pre-dir-list sidecars keyed by bare filename
+                    cols = stats.get(f.name)
                 ok = True
                 if cols is not None:
                     for col, (lo, hi) in ranges.items():
@@ -320,12 +371,37 @@ class Catalog:
     def history(self, table: str) -> list[dict]:
         return self._load_manifest(table)["history"]
 
-    def compact(self, table: str, spark: SparkSession, stats_cols: list[str] | None = None) -> int:
+    def compact(
+        self,
+        table: str,
+        spark: SparkSession,
+        stats_cols: list[str] | None = None,
+        max_retries: int = 3,
+    ) -> int:
         """Rewrite the current snapshot's dir list into ONE fresh dir
-        (a replace commit of read()) — the maintenance pass a long
-        append chain needs; history keeps the old snapshots for time
-        travel until expire_snapshots drops them."""
-        return self.write(self.read(spark, table), table, mode="replace", stats_cols=stats_cols)
+        — the maintenance pass a long append chain needs; history
+        keeps the old snapshots for time travel until
+        expire_snapshots drops them.
+
+        Compaction is a read-modify-write whose data pass runs
+        outside the lock, so it validates its BASE snapshot at lock
+        time (``require_base``): a replace/append committed while the
+        rewrite ran supersedes the base, the commit aborts with
+        SnapshotConflict and the rewrite retries against the new
+        current — Iceberg's validate-and-retry rewrite, which is what
+        keeps a concurrent append's rows from being silently dropped.
+        """
+        last: SnapshotConflict | None = None
+        for _ in range(max_retries):
+            base, _dirs = self._resolve_snapshot(table, None)
+            df = self.read(spark, table, snapshot=base)
+            try:
+                return self._commit_data(
+                    df, table, "replace", stats_cols=stats_cols, require_base=base
+                )
+            except SnapshotConflict as exc:
+                last = exc
+        raise last  # type: ignore[misc]
 
     def expire_snapshots(self, table: str, keep_last: int = 1) -> list[int]:
         """Garbage collection: drop all but the last ``keep_last``
@@ -336,6 +412,8 @@ class Catalog:
         never from snapshot ids.  Returns the expired snapshot ids."""
         import shutil
 
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (current is always retained)")
         with self._commit_lock(table):
             man = self._load_manifest(table)
             hist = man["history"]

@@ -172,6 +172,100 @@ def test_compact_and_expire(spark, tmp_path):
     assert out.count() == 101
 
 
+def test_append_schema_mismatch_raises(spark, tmp_path):
+    from earth_data_kit_spark.sources.catalog import Catalog as C
+
+    cat = C(str(tmp_path / "sch"))
+    cat.write(spark.range(10).withColumn("cell", F.col("id")), "t")
+    bad = spark.range(10).withColumn("cel", F.col("id"))  # typo column
+    with pytest.raises(ValueError, match="schema mismatch"):
+        cat.write(bad, "t", mode="append")
+    badtype = spark.range(10).withColumn("cell", F.col("id").cast("string"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        cat.write(badtype, "t", mode="append")
+    # matching schema still appends
+    cat.write(spark.range(5).withColumn("cell", F.col("id")), "t", mode="append")
+    assert cat.read(spark, "t").count() == 15
+
+
+def test_compact_retries_over_concurrent_append(spark, tmp_path):
+    """An append landing between compact's read() and its commit must
+    not be dropped: the base-snapshot validation aborts the stale
+    commit and the retry compacts the appended state."""
+    from earth_data_kit_spark.sources.catalog import Catalog as C
+
+    base = str(tmp_path / "race")
+    cat = C(base)
+    cat.write(spark.range(0, 100).withColumn("cell", F.col("id")), "t")
+    fired = {"done": False}
+
+    class Racy(C):
+        def read(self, spark_, table, snapshot=None):
+            df = super().read(spark_, table, snapshot)
+            if not fired["done"]:
+                fired["done"] = True
+                C(base).write(
+                    spark.range(1_000, 1_050).withColumn("cell", F.col("id")),
+                    table,
+                    mode="append",
+                )
+            return df
+
+    s = Racy(base).compact("t", spark)
+    assert fired["done"]
+    got = cat.read(spark, "t")
+    assert got.count() == 150  # append survived the compaction race
+    assert len({f.rsplit("/", 2)[-2] for f in got.inputFiles()}) == 1  # one dir
+
+
+def test_expire_keep_last_zero_rejected(spark, tmp_path):
+    from earth_data_kit_spark.sources.catalog import Catalog as C
+
+    cat = C(str(tmp_path / "kl0"))
+    cat.write(spark.range(3), "t")
+    with pytest.raises(ValueError):
+        cat.expire_snapshots("t", keep_last=0)
+
+
+def test_scan_fails_loudly_on_missing_dir(spark, tmp_path):
+    import shutil
+
+    from earth_data_kit_spark.sources.catalog import Catalog as C
+
+    cat = C(str(tmp_path / "gone"))
+    s1 = cat.write(spark.range(10).withColumn("cell", F.col("id")), "t", stats_cols=["cell"])
+    cat.write(
+        spark.range(10, 20).withColumn("cell", F.col("id")), "t", mode="append",
+        stats_cols=["cell"],
+    )
+    shutil.rmtree(cat.base / "t" / f"snap-{s1}")  # simulate racing GC
+    with pytest.raises(FileNotFoundError, match="lost data dirs"):
+        cat.scan(spark, "t", {"cell": (0, 100)})
+
+
+def test_legacy_bare_filename_sidecar_still_prunes(spark, tmp_path):
+    """Pre-dir-list sidecars keyed by bare filenames keep pruning on
+    their (single-dir) snapshots."""
+    import json as js
+
+    from earth_data_kit_spark.sources.catalog import Catalog as C
+
+    cat = C(str(tmp_path / "legacy"))
+    df = (
+        spark.range(0, 20_000)
+        .withColumn("cell", F.col("id"))
+        .repartitionByRange(4, F.col("cell"))
+        .sortWithinPartitions("cell")
+    )
+    s1 = cat.write(df, "t", stats_cols=["cell"])
+    sidecar = cat.base / "t" / f"snap-{s1}.stats.json"
+    legacy = {k.split("/", 1)[1]: v for k, v in js.loads(sidecar.read_text()).items()}
+    sidecar.write_text(js.dumps(legacy))  # rewrite in the old format
+    out = cat.scan(spark, "t", {"cell": (100, 200)})
+    assert out.count() == 101
+    assert len(out.inputFiles()) < 4  # pruning happened via bare keys
+
+
 def test_scan_without_stats_falls_back(spark, cat_env, tmp_path):
     cat = Catalog(str(tmp_path / "nostats"))
     df = spark.range(1000).withColumn("cell", F.col("id") * 7)

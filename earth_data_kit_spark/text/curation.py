@@ -23,6 +23,7 @@ these run in the same map stage as extraction, shuffling nothing.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -187,3 +188,100 @@ def redact_pii_col(text: Column) -> Column:
     c = F.regexp_replace(c, _IPV4_RE, "<IP>")
     c = F.regexp_replace(c, _PHONE_RE, "<PHONE>")
     return c
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition removal (Rae et al. 2021, appendix A1 —
+# public methodology; the signals beyond dup_line_frac need per-doc
+# n-gram counting, which is an Arrow UDF, not Column algebra)
+# ---------------------------------------------------------------------------
+
+
+def repetition_signals(text: str) -> dict:
+    """Pure-python twin of ``repetition_signals_udf`` — the UDF maps
+    this over each Arrow batch, and the tests oracle against it.
+
+    * dup_para_frac / dup_para_char_frac — duplicate paragraphs
+      (``\\n\\n`` blocks) by count and by character mass;
+    * dup_line_char_frac — characters inside duplicate lines;
+    * top{2,3,4}gram_char_frac — character mass of the single most
+      frequent word n-gram (boilerplate beacons);
+    * dup{5..10}gram_char_frac — character mass of all word n-grams
+      occurring more than once (templated spam), capped at 1.
+    """
+    t = text or ""
+    total = max(len(t), 1)
+
+    def _dup_fracs(parts: list[str]) -> tuple[float, float]:
+        parts = [p for p in (s.strip() for s in parts) if p]
+        if not parts:
+            return 0.0, 0.0
+        from collections import Counter
+
+        c = Counter(parts)
+        dup_n = sum(n for n in c.values() if n > 1)
+        dup_chars = sum(len(p) * n for p, n in c.items() if n > 1)
+        return dup_n / len(parts), min(1.0, dup_chars / total)
+
+    dup_para_frac, dup_para_char_frac = _dup_fracs(t.split("\n\n"))
+    _, dup_line_char_frac = _dup_fracs(t.split("\n"))
+
+    words = t.split()
+    out = {
+        "dup_para_frac": dup_para_frac,
+        "dup_para_char_frac": dup_para_char_frac,
+        "dup_line_char_frac": dup_line_char_frac,
+    }
+    from collections import Counter
+
+    for n in (2, 3, 4):
+        grams = Counter(
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        )
+        if grams:
+            g, cnt = grams.most_common(1)[0]
+            out[f"top{n}gram_char_frac"] = min(1.0, len(g) * cnt / total) if cnt > 1 else 0.0
+        else:
+            out[f"top{n}gram_char_frac"] = 0.0
+    for n in range(5, 11):
+        grams = Counter(
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        )
+        dup_chars = sum(len(g) * c for g, c in grams.items() if c > 1)
+        out[f"dup{n}gram_char_frac"] = min(1.0, dup_chars / total)
+    return out
+
+
+_REP_FIELDS = (
+    ["dup_para_frac", "dup_para_char_frac", "dup_line_char_frac"]
+    + [f"top{n}gram_char_frac" for n in (2, 3, 4)]
+    + [f"dup{n}gram_char_frac" for n in range(5, 11)]
+)
+
+
+def repetition_signals_udf():
+    """Arrow UDF: text → struct of the 12 repetition signals."""
+    schema = ", ".join(f"{f} double" for f in _REP_FIELDS)
+
+    @F.pandas_udf(f"struct<{schema}>")
+    def _rep(text: pd.Series) -> pd.DataFrame:
+        rows = [repetition_signals(t) for t in text]
+        return pd.DataFrame(rows, columns=_REP_FIELDS)
+
+    return _rep
+
+
+def gopher_repetition_keep_col(r: Column) -> Column:
+    """The published repetition keep predicate (Gopher A1 thresholds:
+    top-n-gram 0.20/0.18/0.16 for n=2..4; duplicated-n-gram 0.15 down
+    to 0.10 for n=5..10; paragraph/line duplicate caps)."""
+    keep = (
+        (r["dup_para_frac"] <= 0.30)
+        & (r["dup_para_char_frac"] <= 0.20)
+        & (r["dup_line_char_frac"] <= 0.20)
+    )
+    for n, thr in ((2, 0.20), (3, 0.18), (4, 0.16)):
+        keep = keep & (r[f"top{n}gram_char_frac"] <= thr)
+    for i, n in enumerate(range(5, 11)):
+        keep = keep & (r[f"dup{n}gram_char_frac"] <= 0.15 - 0.01 * i)
+    return keep

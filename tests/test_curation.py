@@ -138,3 +138,54 @@ def test_ref_param_is_not_stripped(spark):
     a = _one(spark, cu.canonical_url_col, "https://g.com/r/blob/x.py?ref=main")
     b = _one(spark, cu.canonical_url_col, "https://g.com/r/blob/x.py?ref=release-1.0")
     assert a != b and "ref=main" in a
+
+
+class TestRepetitionSignals:
+    def test_udf_matches_python_twin(self, spark):
+        import pandas as pd
+
+        from earth_data_kit_spark.text.curation import (
+            _REP_FIELDS,
+            repetition_signals,
+            repetition_signals_udf,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(300)
+        rows = docs.select(
+            "doc_id", repetition_signals_udf()(F.col("text")).alias("r"), "text"
+        ).collect()
+        assert len(rows) == 300
+        for r in rows:
+            want = repetition_signals(r.text)
+            for f in _REP_FIELDS:
+                assert abs(getattr(r.r, f) - want[f]) < 1e-12, (r.doc_id, f)
+
+    def test_planted_repetition_flagged(self, spark):
+        from earth_data_kit_spark.text.curation import (
+            gopher_repetition_keep_col,
+            repetition_signals_udf,
+        )
+
+        spam = ("buy cheap meds now " * 50).strip()
+        para = "unique paragraph one.\n\n" + ("same paragraph.\n\n" * 10)
+        clean = (
+            "The quick brown fox jumps over the lazy dog while seventeen "
+            "distinct sentences describe entirely different things about "
+            "geography, music, cooking, astronomy and sport without any "
+            "repeated phrasing whatsoever in this particular passage."
+        )
+        df = spark.createDataFrame(
+            [(1, spam), (2, para), (3, clean)], "id int, text string"
+        )
+        out = {
+            r.id: r.keep
+            for r in df.select(
+                "id",
+                gopher_repetition_keep_col(
+                    repetition_signals_udf()(F.col("text"))
+                ).alias("keep"),
+            ).collect()
+        }
+        assert out[1] is False  # n-gram spam
+        assert out[2] is False  # duplicated paragraphs
+        assert out[3] is True

@@ -46,7 +46,8 @@ def ffd_pack(items: list[tuple[int, int]], max_tokens: int) -> dict[int, int]:
     out: dict[int, int] = {}
     for did, tok in sorted(items, key=lambda p: (-p[1], p[0])):
         if tok > max_tokens:
-            bins.append(0)  # solo, full
+            bins.append(-1)  # solo and CLOSED: -1 < any tok ≥ 0, so
+            # even zero-token docs can't join an oversize bin
             out[did] = len(bins) - 1
             continue
         for b, cap in enumerate(bins):

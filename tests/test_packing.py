@@ -77,3 +77,32 @@ def test_stored_token_col_path_skips_udf(spark, docs):
     # only the FlatMapGroupsInPandas packer itself — no tokenizer UDF
     assert plan.count("ArrowEvalPython") == 0
     assert out.where("n_tokens != 100").count() == 0
+
+
+def test_ffd_pack_properties_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=900), max_size=60),
+        st.integers(min_value=1, max_value=800),
+    )
+    def _check(tokens, max_tokens):
+        items = list(enumerate(tokens))
+        out = ffd_pack(items, max_tokens)
+        assert set(out) == {i for i, _ in items}  # every doc assigned
+        fill: dict[int, int] = {}
+        for i, tok in items:
+            fill[out[i]] = fill.get(out[i], 0) + tok
+        for b, tot in fill.items():
+            members = [i for i in out if out[i] == b]
+            oversize = any(tokens[i] > max_tokens for i in members)
+            if oversize:
+                assert len(members) == 1  # oversize docs sit alone
+            else:
+                assert tot <= max_tokens
+        # determinism
+        assert ffd_pack(items, max_tokens) == out
+
+    _check()

@@ -212,7 +212,17 @@ class Catalog:
                 # wrong (missing columns null, extras dropped)
                 cur = next(h for h in man["history"] if h["id"] == man["current"])
                 cur_schema = cur.get("schema")
-                if cur_schema is not None and cur_schema != schema_map:
+                if cur_schema is None:
+                    # pre-schema manifest: sniff the stored schema from
+                    # the existing dirs' footers instead of trusting
+                    # (and stamping) the unvalidated delta's schema
+                    probe = df.sparkSession.read.parquet(
+                        str(self.base / table / self._entry_dirs(cur)[0])
+                    )
+                    cur_schema = {
+                        f.name: f.dataType.simpleString() for f in probe.schema.fields
+                    }
+                if cur_schema != schema_map:
                     shutil.rmtree(inflight, ignore_errors=True)
                     raise ValueError(
                         f"append schema mismatch for {table!r}: "
@@ -391,6 +401,8 @@ class Catalog:
         current — Iceberg's validate-and-retry rewrite, which is what
         keeps a concurrent append's rows from being silently dropped.
         """
+        if max_retries < 1:
+            raise ValueError("max_retries must be >= 1")
         last: SnapshotConflict | None = None
         for _ in range(max_retries):
             base, _dirs = self._resolve_snapshot(table, None)

@@ -3,9 +3,13 @@ between extraction and storage — beyond the reference's surface (it
 has no text pipeline), following the build brief's "operations a
 large-scale training-data pipeline would need".
 
-Everything here is PURE Columns (whole-stage codegen, no Python in
-the hot path — the same rule as text/textcols.py): at 10¹² documents
-these run in the same map stage as extraction, shuffling nothing.
+Everything below EXCEPT the repetition signals is PURE Columns
+(whole-stage codegen, no Python in the hot path — the same rule as
+text/textcols.py): at 10¹² documents these run in the same map stage
+as extraction, shuffling nothing.  The Gopher repetition signals
+(``repetition_signals_udf``) need per-document n-gram counting, which
+is inherently an Arrow pandas UDF — still map-only and batched, but
+Python-worker execution.
 
 * ``canonical_url_col`` — scheme/host lowercasing, default-port and
   fragment stripping, tracking-parameter removal, trailing-slash
@@ -22,6 +26,8 @@ these run in the same map stage as extraction, shuffling nothing.
 """
 
 from __future__ import annotations
+
+from collections import Counter
 
 import pandas as pd
 from pyspark.sql import Column
@@ -209,15 +215,13 @@ def repetition_signals(text: str) -> dict:
     * dup{5..10}gram_char_frac — character mass of all word n-grams
       occurring more than once (templated spam), capped at 1.
     """
-    t = text or ""
+    t = text if isinstance(text, str) else ""  # None AND float NaN → ""
     total = max(len(t), 1)
 
     def _dup_fracs(parts: list[str]) -> tuple[float, float]:
         parts = [p for p in (s.strip() for s in parts) if p]
         if not parts:
             return 0.0, 0.0
-        from collections import Counter
-
         c = Counter(parts)
         dup_n = sum(n for n in c.values() if n > 1)
         dup_chars = sum(len(p) * n for p, n in c.items() if n > 1)
@@ -232,24 +236,22 @@ def repetition_signals(text: str) -> dict:
         "dup_para_char_frac": dup_para_char_frac,
         "dup_line_char_frac": dup_line_char_frac,
     }
-    from collections import Counter
-
     for n in (2, 3, 4):
-        grams = Counter(
-            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
-        )
+        grams = _ngram_counts(words, n)
         if grams:
             g, cnt = grams.most_common(1)[0]
             out[f"top{n}gram_char_frac"] = min(1.0, len(g) * cnt / total) if cnt > 1 else 0.0
         else:
             out[f"top{n}gram_char_frac"] = 0.0
     for n in range(5, 11):
-        grams = Counter(
-            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
-        )
+        grams = _ngram_counts(words, n)
         dup_chars = sum(len(g) * c for g, c in grams.items() if c > 1)
         out[f"dup{n}gram_char_frac"] = min(1.0, dup_chars / total)
     return out
+
+
+def _ngram_counts(words: list[str], n: int) -> "Counter":
+    return Counter(" ".join(words[i : i + n]) for i in range(len(words) - n + 1))
 
 
 _REP_FIELDS = (

@@ -272,3 +272,36 @@ def test_scan_without_stats_falls_back(spark, cat_env, tmp_path):
     cat.write(df, "t")  # no stats_cols
     out = cat.scan(spark, "t", {"cell": (70, 140)})
     assert out.count() == 11  # cells 70,77,...,140
+
+
+def test_pre_schema_manifest_append_sniffs_footers(spark, tmp_path):
+    """Appending onto a manifest written before schema stamping must
+    validate against the stored files' footer schema, not trust (and
+    stamp) the delta's schema."""
+    import json as js
+
+    from earth_data_kit_spark.sources.catalog import Catalog as C
+
+    cat = C(str(tmp_path / "pre"))
+    cat.write(spark.range(10).withColumn("cell", F.col("id")), "t")
+    mp = cat.base / "t" / "manifest.json"
+    man = js.loads(mp.read_text())
+    for h in man["history"]:
+        h.pop("schema", None)  # simulate the pre-schema format
+    mp.write_text(js.dumps(man))
+
+    with pytest.raises(ValueError, match="schema mismatch"):
+        cat.write(
+            spark.range(5).withColumn("cel", F.col("id")), "t", mode="append"
+        )
+    cat.write(spark.range(5).withColumn("cell", F.col("id")), "t", mode="append")
+    assert cat.read(spark, "t").count() == 15
+
+
+def test_compact_rejects_zero_retries(spark, tmp_path):
+    from earth_data_kit_spark.sources.catalog import Catalog as C
+
+    cat = C(str(tmp_path / "r0"))
+    cat.write(spark.range(3), "t")
+    with pytest.raises(ValueError):
+        cat.compact("t", spark, max_retries=0)

@@ -189,3 +189,13 @@ class TestRepetitionSignals:
         assert out[1] is False  # n-gram spam
         assert out[2] is False  # duplicated paragraphs
         assert out[3] is True
+
+    def test_python_twin_handles_none_and_nan(self):
+        from earth_data_kit_spark.text.curation import (
+            _REP_FIELDS,
+            repetition_signals,
+        )
+
+        for bad in (None, float("nan"), ""):
+            out = repetition_signals(bad)
+            assert all(out[f] == 0.0 for f in _REP_FIELDS)

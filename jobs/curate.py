@@ -1,0 +1,110 @@
+"""End-to-end training-data curation job — the pass a 100 TB corpus
+runs between crawl and training, composed from the engine's
+operators (each stage is the oracle-tested operator, not ad-hoc
+logic):
+
+  1. quality    — Gopher shape rules (pure Columns) + repetition
+                  signals (Arrow UDF): drop boilerplate/spam shapes;
+  2. decontam   — broadcast 13-gram probe against an eval set: drop
+                  benchmark leakage;
+  3. dedup      — exact content dedup (md5 groupBy, keep min id);
+  4. pack       — shard-parallel FFD into fixed token budgets.
+
+Prints ONE JSON line with per-stage survivor counts and the packing
+fill rate.  Every stage is map-only or a single bounded shuffle; the
+whole job has no driver-side data loops, so the identical plan runs
+at cluster scale (see SCALE.md).
+
+Usage:
+  spark-submit --py-files dist/edk_spark.zip jobs/curate.py \
+      --sf-dir /root/testdata/sf0.001 --max-tokens 512
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def run(spark, sf_dir: str, max_tokens: int = 512, eval_snippets: int = 3) -> dict:
+    from earth_data_kit_spark.operators.decontam import flag_contaminated
+    from earth_data_kit_spark.operators.dedup import exact_dedup
+    from earth_data_kit_spark.operators.packing import pack_sequences, packing_stats
+    from earth_data_kit_spark.text import curation as cu
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_in = docs.count()
+
+    # ---- stage 1: quality (shape + repetition) --------------------------
+    q = cu.gopher_quality_cols(F.col("text"))
+    r = cu.repetition_signals_udf()(F.col("text"))
+    kept = (
+        docs.withColumn("_keep_q", cu.gopher_keep_col(q))
+        .withColumn("_keep_r", cu.gopher_repetition_keep_col(r))
+        .where(F.col("_keep_q") & F.col("_keep_r"))
+        .drop("_keep_q", "_keep_r")
+    )
+    n_quality = kept.count()
+
+    # ---- stage 2: decontamination --------------------------------------
+    # eval fixture: verbatim spans lifted from the corpus (deterministic
+    # planted leakage — a real run broadcasts the real eval sets)
+    rows = docs.orderBy("doc_id").limit(eval_snippets).collect()
+    eval_df = spark.createDataFrame(
+        [(i, " ".join(r.text.split()[2:30])) for i, r in enumerate(rows)],
+        "eval_id int, text string",
+    )
+    clean = flag_contaminated(kept, eval_df, shingle_k=13).where(
+        ~F.col("contaminated")
+    ).drop("contaminated")
+    n_clean = clean.count()
+
+    # ---- stage 3: exact dedup ------------------------------------------
+    # exact_dedup returns (doc_id, n_dups) representatives; a
+    # broadcast-able id join restores the payload columns (at corpus
+    # scale the representative set is smaller than the input, and the
+    # join key is the stored sorted id — co-located)
+    reps = exact_dedup(clean).select("doc_id")
+    unique = clean.join(reps, "doc_id")
+    n_unique = unique.count()
+
+    # ---- stage 4: sequence packing -------------------------------------
+    packed = pack_sequences(unique, max_tokens, shards=32)
+    st = packing_stats(packed, max_tokens).collect()[0]
+
+    return {
+        "metric": "curation_funnel",
+        "docs_in": n_in,
+        "after_quality": n_quality,
+        "after_decontam": n_clean,
+        "after_dedup": n_unique,
+        "sequences": st.n_seqs,
+        "fill_rate": round(float(st.fill_rate), 4),
+        "oversize_seqs": st.n_oversize,
+        "max_tokens": max_tokens,
+    }
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--max-tokens", type=int, default=512)
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from earth_data_kit_spark.session import get_spark
+
+    spark = get_spark(app_name="edk-curate", cpus=args.cpus)
+    out = run(spark, args.sf_dir, max_tokens=args.max_tokens)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

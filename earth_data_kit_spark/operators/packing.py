@@ -102,8 +102,11 @@ def pack_sequences(
 
 def packing_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
     """One row: (n_docs, n_seqs, fill_rate, n_oversize) — fill_rate =
-    packed tokens / (sequences × max_tokens), the padding-waste
-    metric packing exists to optimize."""
+    packed tokens / (sequences × max_tokens) over the NON-oversize
+    sequences only (an oversize sequence is truncated downstream, so
+    counting its raw tokens would overstate fill); 0.0 when every
+    sequence is oversize (the ratio is otherwise 0/0 → null).  The
+    padding-waste metric packing exists to optimize."""
     per_seq = packed.groupBy("seq_id").agg(
         F.count("*").alias("n_docs_seq"),
         F.sum("n_tokens").alias("seq_tokens"),
@@ -113,8 +116,9 @@ def packing_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
         F.sum("n_docs_seq").alias("n_docs"),
         F.sum(F.lit(1)).alias("n_seqs"),
         F.sum("has_oversize").alias("n_oversize"),
-        (
+        F.coalesce(
             F.sum(F.when(F.col("has_oversize") == 0, F.col("seq_tokens")).otherwise(0))
-            / (F.sum(F.when(F.col("has_oversize") == 0, 1).otherwise(0)) * max_tokens)
+            / (F.sum(F.when(F.col("has_oversize") == 0, 1).otherwise(0)) * max_tokens),
+            F.lit(0.0),  # all-oversize: 0/0 division yields null
         ).alias("fill_rate"),
     )

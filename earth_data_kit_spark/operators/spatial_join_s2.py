@@ -241,9 +241,17 @@ def knn_join_s2(
             if need <= ring:
                 break
             ring = min(max_ring, need)
-    finally:
+    except BaseException:
         if auto_grow:
             pts.unpersist()
+        raise
+    # deliberately NOT unpersisted on success: the returned DataFrame
+    # is lazy, so an eager unpersist here would force the final
+    # candidate join to recompute the leaf-id UDF pass the persist
+    # existed to avoid (advisor r3).  The cache is released by Spark's
+    # ContextCleaner once the result DataFrame is garbage-collected;
+    # callers holding the result long-term can `.unpersist()` the
+    # input themselves after materializing.
     scored = cand.withColumn("dist_m", dist).select("query_id", id_col, "dist_m")
     return _topk(scored, k, id_col)
 

@@ -34,15 +34,23 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _stat_value(v):
+def _stat_value(v, direction: int = 0):
     """JSON-storable form of a parquet min/max, or None if the type
     has no faithful, comparison-preserving JSON encoding.  datetimes/
     dates become ISO strings (lexicographic == chronological, so
     scan()'s interval test still works against ISO-string ranges);
     bytes and anything exotic drop to None → the file is kept
-    conservatively rather than mis-pruned."""
+    conservatively rather than mis-pruned.
+
+    ``direction`` keeps Decimal stats CONSERVATIVE under the float
+    conversion: nearest-rounding can shrink a stored max (or inflate
+    a min), letting scan()'s ``fmax < lo`` test prune a file that
+    actually contains matching rows.  Pass -1 for a min (round toward
+    -inf) / +1 for a max (round toward +inf) so the stored range is
+    always a superset of the true one (advisor r3, medium)."""
     import datetime
     import decimal
+    import math
 
     if isinstance(v, bool) or v is None:
         return None  # boolean ranges are useless for pruning
@@ -51,7 +59,14 @@ def _stat_value(v):
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        f = float(v)  # round-half-even: may land on either side
+        if not math.isfinite(f):
+            return None
+        if direction < 0 and decimal.Decimal(f) > v:
+            f = math.nextafter(f, -math.inf)
+        elif direction > 0 and decimal.Decimal(f) < v:
+            f = math.nextafter(f, math.inf)
+        return f
     return None
 
 
@@ -84,7 +99,7 @@ def _collect_file_stats(snap_dir: Path, cols: list[str]) -> dict:
                     break
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
-            lo, hi = _stat_value(lo), _stat_value(hi)
+            lo, hi = _stat_value(lo, direction=-1), _stat_value(hi, direction=1)
             if ok and lo is not None and hi is not None:
                 file_stats[col] = [lo, hi]
         out[f.name] = file_stats

@@ -62,14 +62,20 @@ def run(spark, sf_dir: str, max_tokens: int = 512, eval_snippets: int = 3) -> di
     )
     clean = flag_contaminated(kept, eval_df, shingle_k=13).where(
         ~F.col("contaminated")
-    ).drop("contaminated")
-    n_clean = clean.count()
+    ).drop("contaminated").persist()
+    n_clean = clean.count()  # materializes the cache stage 3 reuses
 
     # ---- stage 3: exact dedup ------------------------------------------
-    # exact_dedup returns (doc_id, n_dups) representatives; a
-    # broadcast-able id join restores the payload columns (at corpus
-    # scale the representative set is smaller than the input, and the
-    # join key is the stored sorted id — co-located)
+    # exact_dedup returns (doc_id, n_dups) representatives.  The
+    # restore is a plain shuffle equi-join on doc_id — NOT broadcast:
+    # a mostly-unique corpus leaves `reps` nearly corpus-sized, so it
+    # never fits under the broadcast threshold at scale (advisor r3
+    # flagged the old comment as overselling this).  doc_id is the
+    # stored sort key, so both sides shuffle-partition the same way
+    # (or co-locate for free under bucketed storage).  `clean` is
+    # persisted first: `reps` derives from it, and without the persist
+    # the un-cached lineage recomputes the quality+decontam stages
+    # twice (once for reps, once for the join's left side).
     reps = exact_dedup(clean).select("doc_id")
     unique = clean.join(reps, "doc_id")
     n_unique = unique.count()

@@ -44,8 +44,8 @@ _TRACKING_PARAMS = r"(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid)"
 
 
 def canonical_url_col(url: Column) -> Column:
-    """Canonical form for URL-level dedup, as a regexp_replace chain
-    (one codegen'd expression, no UDF):
+    """Canonical form for URL-level dedup, as one codegen'd
+    expression (no UDF):
 
     1. lowercase scheme+host (path/query case is significant — kept),
     2. drop the fragment,
@@ -53,17 +53,27 @@ def canonical_url_col(url: Column) -> Column:
     4. drop tracking query params (utm_*, gclid, fbclid, …),
     5. drop a now-empty query string / dangling separators,
     6. drop one trailing slash on a non-root path.
-    """
-    # 1. lowercase scheme://host (the authority ends at /, ?, # or EOS)
+
+    Hot-path shape (VERDICT r3 task 2): 4 regex passes, down from 8 —
+    the authority split reuses one extract via substring arithmetic,
+    the fragment drop is a literal substring_index, and the two
+    default-port rules merge into one alternation whose replacement
+    concatenates the (one non-empty) groups."""
+    # 1. lowercase scheme://host; the tail is the remainder by LENGTH
+    #    of the matched authority (no second regex pass)
+    auth = F.regexp_extract(url, r"^([^:/?#]+://[^/?#]*)", 1)
     c = F.concat(
-        F.lower(F.regexp_extract(url, r"^([^:/?#]+://[^/?#]*)", 1)),
-        F.regexp_replace(url, r"^[^:/?#]+://[^/?#]*", ""),
+        F.lower(auth), F.substring(url, F.length(auth) + 1, F.length(url))
     )
-    # 2. fragment
-    c = F.regexp_replace(c, r"#.*$", "")
-    # 3. default ports
-    c = F.regexp_replace(c, r"^(http://[^/:?#]*):80(?=[/?#]|$)", r"$1")
-    c = F.regexp_replace(c, r"^(https://[^/:?#]*):443(?=[/?#]|$)", r"$1")
+    # 2. fragment: everything before the first '#' (literal scan)
+    c = F.substring_index(c, "#", 1)
+    # 3. default ports — one pass; the unmatched alternative's groups
+    #    substitute as empty strings in Java replaceAll
+    c = F.regexp_replace(
+        c,
+        r"^(http://[^/:?#]*):80(?=[/?#]|$)|^(https://[^/:?#]*):443(?=[/?#]|$)",
+        r"$1$2",
+    )
     # 4. tracking params: lookbehind keeps the separator unconsumed,
     #    so adjacent tracking params all match in ONE replaceAll pass
     #    (Java lookbehind evaluates input positions, not prior
@@ -93,65 +103,128 @@ def url_dedup(df, url_col: str = "url", id_col: str = "page_id"):
 # ---------------------------------------------------------------------------
 
 
+# Java \s charset — what split(text, r"\s+") breaks words on;
+# deleting these via translate counts total word characters in one
+# pass instead of an aggregate() lambda over the words array
+_WS_CHARS = " \t\n\x0b\f\r"
+# the EXACT charset of the r"[A-Za-zÀ-ÿ]" alpha-word test (a raw
+# range: U+00C0..U+00FF, so ×/÷ are deliberately included to keep
+# the historical semantics); translate-delete + length comparison is
+# a single char-map pass vs a per-word regex scan
+_ALPHA_CHARS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    + "".join(chr(c) for c in range(0xC0, 0x100))
+)
+
+
 def gopher_quality_cols(text: Column) -> Column:
     """The document-shape signals as one struct Column.  Word = a
     whitespace token; line = a newline-split segment.  All array /
-    higher-order functions — no Python."""
-    words = F.split(F.trim(text), r"\s+")
-    words = F.filter(words, lambda w: w != "")
-    n_words = F.size(words)
-    # mean word length over CHARACTERS of words (not the raw text)
-    total_word_chars = F.aggregate(
-        words, F.lit(0), lambda acc, w: acc + F.length(w)
-    )
-    mean_word_len = F.when(n_words > 0, total_word_chars / n_words).otherwise(F.lit(0.0))
-    # fraction of words containing at least one alphabetic character
-    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-zÀ-ÿ]")))
-    alpha_frac = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
-    # symbol-to-word ratio: hashes and ellipses per word
-    n_symbols = F.size(F.regexp_extract_all(text, F.lit(r"#"), 0)) + F.size(
-        F.regexp_extract_all(text, F.lit(r"\.\.\.|…"), 0)
-    )
-    symbol_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(F.lit(0.0))
-    lines = F.filter(F.split(text, r"\n"), lambda l: F.trim(l) != "")
-    n_lines = F.size(lines)
-    bullet_frac = F.when(
-        n_lines > 0,
-        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•])"))) / n_lines,
-    ).otherwise(F.lit(0.0))
-    ellipsis_frac = F.when(
-        n_lines > 0,
-        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))) / n_lines,
-    ).otherwise(F.lit(0.0))
-    dup_line_frac = F.when(
-        n_lines > 0,
-        (n_lines - F.size(F.array_distinct(F.transform(lines, F.trim)))) / n_lines,
-    ).otherwise(F.lit(0.0))
-    return F.struct(
-        n_words.cast("bigint").alias("n_words"),
-        F.round(mean_word_len, 6).alias("mean_word_len"),
-        F.round(alpha_frac, 6).alias("alpha_word_frac"),
-        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
-        F.round(bullet_frac, 6).alias("bullet_line_frac"),
-        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
-        F.round(dup_line_frac, 6).alias("dup_line_frac"),
-    )
+    higher-order functions — no Python.
+
+    Hot-path shape (VERDICT r3 task 2: 14.9k → ≥50k docs/s): counting
+    regexes are replaced by length-difference arithmetic over
+    translate/replace (same values — the closed-form tests in
+    tests/test_curation.py pin them), per-word/per-line rlike
+    predicates become charset-translate / substring / endswith
+    checks, and lines are trimmed ONCE into a shared array instead of
+    once per signal."""
+    # words are never materialized as an array: a word is a maximal
+    # \S+ run, so n_words is one regexp_count pass, and a word
+    # containing ≥1 alpha char is one non-overlapping match of
+    # \S*[alpha]\S* (the first match inside a run consumes the whole
+    # run, so each qualifying word counts exactly once) — both
+    # codegen'd, vs split + two interpreted HOF filters
+    n_words_c = F.regexp_count(text, F.lit(r"\S+"))
+    alpha_words_c = F.regexp_count(text, F.lit(r"\S*[A-Za-zÀ-ÿ]\S*"))
+    # one trim pass shared by the bullet / ellipsis / dup-line signals
+    tlines = F.filter(F.transform(F.split(text, r"\n"), F.trim), lambda l: l != "")
+
+    def _signals(b: Column) -> Column:
+        n_words, alpha_words, tl = b["nw"], b["aw"], b["tl"]
+        # mean word length over CHARACTERS of words == non-whitespace
+        # chars of the text (words partition exactly the non-\s chars)
+        total_word_chars = F.length(F.translate(text, _WS_CHARS, ""))
+        mean_word_len = F.when(n_words > 0, total_word_chars / n_words).otherwise(F.lit(0.0))
+        alpha_frac = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
+        # symbol-to-word ratio: hashes and ellipses per word.  '#' by
+        # translate-delete; non-overlapping "..." runs by literal
+        # replace (a k-dot run yields floor(k/3) matches either way,
+        # and '…' is a distinct char so the counts never interact —
+        # the regex alternation r"\.\.\.|…" scanned the same way)
+        n_symbols = (
+            (F.length(text) - F.length(F.translate(text, "#", "")))
+            + (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+            + (F.length(text) - F.length(F.translate(text, "…", "")))
+        )
+        symbol_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(F.lit(0.0))
+        n_lines = F.size(tl)
+        bullet_frac = F.when(
+            n_lines > 0,
+            F.size(F.filter(tl, lambda l: F.substring(l, 1, 1).isin("-", "*", "•")))
+            / n_lines,
+        ).otherwise(F.lit(0.0))
+        ellipsis_frac = F.when(
+            n_lines > 0,
+            F.size(F.filter(tl, lambda l: l.endswith("...") | l.endswith("…")))
+            / n_lines,
+        ).otherwise(F.lit(0.0))
+        dup_line_frac = F.when(
+            n_lines > 0,
+            (n_lines - F.size(F.array_distinct(tl))) / n_lines,
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            n_words.cast("bigint").alias("n_words"),
+            F.round(mean_word_len, 6).alias("mean_word_len"),
+            F.round(alpha_frac, 6).alias("alpha_word_frac"),
+            F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+            F.round(bullet_frac, 6).alias("bullet_line_frac"),
+            F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+            F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        )
+
+    # let-binding via a 1-element transform(): Catalyst does NOT
+    # common-subexpression-eliminate higher-order-function trees
+    # across struct fields, so referencing `words` from n_words /
+    # alpha_frac / the four per-word ratios re-ran split+filter per
+    # field (measured: the struct cost 2.8 s while the sum of its
+    # parts was 1.6 s).  Binding the two arrays to a lambda variable
+    # guarantees one evaluation each.
+    return F.transform(
+        F.array(
+            F.struct(
+                n_words_c.alias("nw"), alpha_words_c.alias("aw"), tlines.alias("tl")
+            )
+        ),
+        _signals,
+    )[0]
 
 
 def gopher_keep_col(q: Column) -> Column:
     """The published keep predicate over gopher_quality_cols output
-    (Gopher A1 thresholds; word bounds scaled to web docs)."""
-    return (
-        (q["n_words"] >= 50)
-        & (q["n_words"] <= 100_000)
-        & (q["mean_word_len"] >= 3)
-        & (q["mean_word_len"] <= 10)
-        & (q["symbol_word_ratio"] <= 0.1)
-        & (q["bullet_line_frac"] <= 0.9)
-        & (q["ellipsis_line_frac"] <= 0.3)
-        & (q["alpha_word_frac"] >= 0.8)
-        & (q["dup_line_frac"] <= 0.3)
-    )
+    (Gopher A1 thresholds; word bounds scaled to web docs).
+
+    The struct is let-bound (1-element transform) before the 9 field
+    reads: gopher_quality_cols' output is itself a let-bound
+    expression that Catalyst can't collapse per-field, so reading its
+    fields directly would re-evaluate the full signal computation
+    nine times (measured 15 s vs 2 s over 320k docs)."""
+
+    def _pred(s: Column) -> Column:
+        keep = (
+            (s["n_words"] >= 50)
+            & (s["n_words"] <= 100_000)
+            & (s["mean_word_len"] >= 3)
+            & (s["mean_word_len"] <= 10)
+            & (s["symbol_word_ratio"] <= 0.1)
+            & (s["bullet_line_frac"] <= 0.9)
+            & (s["ellipsis_line_frac"] <= 0.3)
+            & (s["alpha_word_frac"] >= 0.8)
+            & (s["dup_line_frac"] <= 0.3)
+        )
+        return keep
+
+    return F.transform(F.array(q), _pred)[0]
 
 
 # ---------------------------------------------------------------------------

@@ -4,16 +4,31 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-plus per-query docs/sec where meaningful.  The north-rule scaling
-evidence (same job at two parallelism levels) is produced by
-scripts/scaling_run.sh, which invokes this file once per level and
-writes BENCH/BASELINE.md.
+Isolation protocol (VERDICT r3 task 1 — the r3 numbers were honest
+individually but not comparable round-over-round because one
+long-lived JVM let page-cache and shuffle-file state leak between
+queries; knn measured 4.4 s in-suite vs 9.7 s cold):
+
+* Default mode is an ORCHESTRATOR: each headline query runs in its
+  own fresh JVM (a child `python bench.py` with
+  SPARK_GRAFT_BENCH_ONLY=<q>), and the per-child CPU calibration is
+  stamped into the merged JSON (`calib_per_query`) so readers can
+  normalize away the sandbox VM's delivered-CPU drift per query.
+* `SPARK_GRAFT_BENCH_ONLY=q1,q2` runs those queries in-process (the
+  child mode; also what scripts/scaling_run.sh uses directly).
+* `SPARK_GRAFT_BENCH_FRESH=0` forces the old single-JVM suite for
+  quick iteration.
+
+The north-rule scaling evidence (same job at two parallelism levels)
+is produced by scripts/scaling_run.sh, which invokes this file once
+per level and writes BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -25,6 +40,30 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 PAGES_REPS = int(os.environ.get("SPARK_GRAFT_PAGES_REPS", "512"))  # driver default: snappy; scaling_run.sh pins 4096
+
+# orchestrator execution order == the old in-suite order, so child-mode
+# (BENCH_FRESH=0) numbers stay comparable with earlier rounds
+QUERY_ORDER = [
+    "extract_geocode",
+    "pip_join",
+    "pip_join_s2",
+    "cell_agg",
+    "knn",
+    "tile_assign",
+    "dedup_exact",
+    "dedup_minhash",
+    "tpch_q1",
+    "events_window",
+    "cosine_topk",
+    "ann_ivf_stored",
+    "hot_cell_unsalted",
+    "hot_cell_salted",
+    "regrid_halo",
+    "stream_window_append",
+    "stream_dedup_exact",
+    "stream_dedup_jvm",
+    "txt_curation",
+]
 
 
 def _cpu_calib(seconds: float = 0.25) -> int:
@@ -39,6 +78,66 @@ def _cpu_calib(seconds: float = 0.25) -> int:
         x = x * 1.0000001 + 1.0
         n += 1
     return round(n / seconds)
+
+
+def orchestrate() -> None:
+    """Fresh JVM per query: spawn one child bench.py per headline
+    query, merge the per-query timings/extras, stamp per-query
+    calibration.  Materialized /tmp tables are path-keyed, so the
+    first child needing a table pays its (untimed) build and later
+    children reuse it."""
+    timings: dict[str, float] = {}
+    extras: dict = {}
+    calib: dict[str, int] = {}
+    errors: dict[str, str] = {}
+    pages_rows = None
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")  # orchestrate a subset
+    order = [q for q in QUERY_ORDER if not subset or q in set(subset.split(","))]
+    for q in order:
+        env = os.environ.copy()
+        env["SPARK_GRAFT_BENCH_ONLY"] = q
+        env["SPARK_GRAFT_BENCH_FRESH"] = "0"
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        line = None
+        for ln in reversed(p.stdout.strip().splitlines()):
+            if ln.startswith("{"):
+                line = ln
+                break
+        if p.returncode != 0 or line is None:
+            errors[q] = (p.stderr or "no output").strip()[-500:]
+            continue
+        child = json.loads(line)
+        timings.update(child.get("queries", {}))
+        calib[q] = child.get("cpu_calib_iters_per_sec")
+        pages_rows = child.get("pages_rows") or pages_rows
+        for k, v in child.items():
+            if k not in (
+                "metric", "value", "unit", "queries", "sf", "cpus",
+                "pages_rows", "cpu_calib_iters_per_sec",
+            ):
+                extras[k] = v
+    result = {
+        "metric": "headline_suite_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {q: timings[q] for q in QUERY_ORDER if q in timings},
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "isolation": "fresh_jvm_per_query",
+        "pages_rows": pages_rows,
+        "cpu_calib_iters_per_sec": _cpu_calib(),
+        "calib_per_query": calib,
+        **extras,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
 
 
 def main() -> None:
@@ -57,6 +156,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    only_set = set(only.split(",")) if only else None
+
+    def need(*names: str) -> bool:
+        """True when any of ``names`` will run — gates EAGER setup so
+        a single-query child doesn't pay another query's
+        materialization or counts."""
+        return only_set is None or bool(set(names) & only_set)
+
     # Warm the Python UDF workers on every core: the first task a
     # worker runs pays ~2-3 s importing pandas/pyarrow AND the engine
     # modules.  A long-running job amortizes this; the bench measures
@@ -69,25 +177,17 @@ def main() -> None:
     ).count()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    only_set = set(only.split(",")) if only else None
 
     def timed(name: str, fn):
         if only_set is not None and name not in only_set:
             return None
         # steady-state: best of N runs — the first run pays one-time
         # costs (page cache, broadcast build, python worker spin-up)
-        # that a long-lived job amortizes.  Optional GC barrier
-        # (default OFF): a forced full GC also fires Spark's
-        # weak-ref ContextCleaner, dropping reusable shuffle files —
-        # measured SLOWER in-suite (hot_cell_salted 8-17 s vs 4.5 s
-        # isolated); query isolation comes from the run ORDER instead
-        # (extract_geocode before the ×16-scan queries).
-        gc_barrier = os.environ.get("SPARK_GRAFT_BENCH_GC", "0") == "1"
+        # that a long-lived job amortizes.  Cross-QUERY isolation
+        # comes from the fresh-JVM orchestrator, not from anything
+        # here.
         best, out = None, None
         for _ in range(runs):
-            if gc_barrier:
-                spark.sparkContext._jvm.System.gc()
             t0 = time.time()
             out = fn()
             dt = time.time() - t0
@@ -95,59 +195,69 @@ def main() -> None:
         timings[name] = round(best, 3)
         return out
 
-    # q-html FIRST: full html path — fused extract+geocode UDF (Arrow
-    # hot path) over a MATERIALIZED html table (the 100 TB table
-    # stores html; measuring the in-flight synth would time the
-    # generator instead).  Measured BEFORE the ×16-scan queries: r2
-    # showed a 1.55× slowdown on this unchanged workload when it ran
-    # after the big scans (JVM heap/page-cache churn), so the fused-UDF
-    # number is taken on a quiet JVM.
-    html_reps = min(64, max(1, PAGES_REPS // 8))
-    html_path = f"/tmp/edk_bench_html_{os.path.basename(SF_DIR)}_{html_reps}"
-    if not os.path.exists(html_path):
-        synth_pages_df(spark, SF_DIR, reps=html_reps, partitions=128).select(
-            "page_id", "url", "html"
-        ).write.mode("overwrite").parquet(html_path)
-    html_pages = spark.read.parquet(html_path)
+    # q-html: full html path — fused extract+geocode UDF (Arrow hot
+    # path) over a MATERIALIZED html table (the 100 TB table stores
+    # html; measuring the in-flight synth would time the generator).
+    if need("extract_geocode"):
+        html_reps = min(64, max(1, PAGES_REPS // 8))
+        html_path = f"/tmp/edk_bench_html_{os.path.basename(SF_DIR)}_{html_reps}"
+        if not os.path.exists(html_path):
+            synth_pages_df(spark, SF_DIR, reps=html_reps, partitions=128).select(
+                "page_id", "url", "html"
+            ).write.mode("overwrite").parquet(html_path)
+        html_pages = spark.read.parquet(html_path)
 
-    def _html_pipeline():
-        g = html_pages.select(
-            extract_geocode_udf(F.col("html"), F.col("url")).alias("g")
-        ).select("g.method")
-        return g.groupBy("method").count().collect()
+        def _html_pipeline():
+            g = html_pages.select(
+                extract_geocode_udf(F.col("html"), F.col("url")).alias("g")
+            ).select("g.method")
+            return g.groupBy("method").count().collect()
 
-    timed("extract_geocode", _html_pipeline)
-    if "extract_geocode" in timings:
-        n_html = html_pages.count()
-        extras["extract_docs_per_sec"] = round(n_html / timings["extract_geocode"], 1)
+        timed("extract_geocode", _html_pipeline)
+        if "extract_geocode" in timings:
+            n_html = html_pages.count()
+            extras["extract_docs_per_sec"] = round(n_html / timings["extract_geocode"], 1)
 
     # materialize the pages table once (parquet) so queries measure the
     # operators, not the synth; at 100 TB this is the stored table.
     # partitioned like the 100 TB table would be: enough splits that
     # every core gets work (the cross-join synth otherwise inherits
     # the single-file parquet's 1-2 partitions)
-    pages_path = f"/tmp/edk_bench_pages_{os.path.basename(SF_DIR)}_{PAGES_REPS}"
-    if not os.path.exists(pages_path):
-        pages_meta_df(spark, SF_DIR, reps=PAGES_REPS).repartition(128).write.mode(
-            "overwrite"
-        ).parquet(pages_path)
-    pages = spark.read.parquet(pages_path)
-    n_pages = pages.count()
+    pages = None
+    n_pages = 0
+    pages_queries = (
+        "pip_join", "pip_join_s2", "cell_agg", "knn",
+        "hot_cell_salted", "hot_cell_unsalted",
+    )
+    if need(*pages_queries):
+        pages_path = f"/tmp/edk_bench_pages_{os.path.basename(SF_DIR)}_{PAGES_REPS}"
+        if not os.path.exists(pages_path):
+            pages_meta_df(spark, SF_DIR, reps=PAGES_REPS).repartition(128).write.mode(
+                "overwrite"
+            ).parquet(pages_path)
+        pages = spark.read.parquet(pages_path)
+        n_pages = pages.count()
 
     polys = [
         sj.Polygon(code=c, name=n, bbox=(a, b, x, y))
         for c, n, a, b, x, y in entrymod.COUNTRIES
     ]
 
-    # q1: flagship spatial join (cell prefilter + broadcast + refine) + agg.
     # SCAN_MULT self-unions multiply the scanned volume without
-    # multiplying storage, so the job is compute-bound at every core
-    # count (one pass of 20M rows finishes in ~1 s — pure overhead).
+    # multiplying storage, so the big-scan queries are compute-bound
+    # at every core count (one pass of 20M rows finishes in ~1 s —
+    # pure overhead).
     scan_mult = int(os.environ.get("SPARK_GRAFT_SCAN_MULT", "16"))
     from functools import reduce
 
-    pages_big = reduce(lambda a, b: a.union(b), [pages] * scan_mult)
+    pages_big = (
+        reduce(lambda a, b: a.union(b), [pages] * scan_mult)
+        if pages is not None
+        else None
+    )
     n_big = n_pages * scan_mult
+
+    # q1: flagship spatial join (cell prefilter + broadcast + refine) + agg
     timed(
         "pip_join",
         lambda: sj.pip_join(pages_big, polys, res=entrymod.CELL_RES)
@@ -164,28 +274,29 @@ def main() -> None:
     # ingest (one pandas-UDF pass, stored in parquet), every query
     # derives its join level by JVM bit math — the Python cost is
     # amortized to zero and the join itself is pure codegen.
-    from earth_data_kit_spark.operators.spatial_join_s2 import (
-        pip_join_s2,
-        s2_leaf_udf,
-    )
+    if need("pip_join_s2"):
+        from earth_data_kit_spark.operators.spatial_join_s2 import (
+            pip_join_s2,
+            s2_leaf_udf,
+        )
 
-    s2_path = f"/tmp/edk_bench_pages_s2_{os.path.basename(SF_DIR)}_{PAGES_REPS}"
-    if not os.path.exists(s2_path):
-        pages.withColumn(
-            "s2_leaf", s2_leaf_udf()(F.col("lon"), F.col("lat"))
-        ).write.mode("overwrite").parquet(s2_path)
-    pages_s2_big = reduce(
-        lambda a, b: a.union(b), [spark.read.parquet(s2_path)] * scan_mult
-    )
-    timed(
-        "pip_join_s2",
-        lambda: pip_join_s2(pages_s2_big, polys, level=6, leaf_col="s2_leaf")
-        .groupBy("code")
-        .count()
-        .collect(),
-    )
-    if "pip_join_s2" in timings:
-        extras["pip_join_s2_docs_per_sec"] = round(n_big / timings["pip_join_s2"], 1)
+        s2_path = f"/tmp/edk_bench_pages_s2_{os.path.basename(SF_DIR)}_{PAGES_REPS}"
+        if not os.path.exists(s2_path):
+            pages.withColumn(
+                "s2_leaf", s2_leaf_udf()(F.col("lon"), F.col("lat"))
+            ).write.mode("overwrite").parquet(s2_path)
+        pages_s2_big = reduce(
+            lambda a, b: a.union(b), [spark.read.parquet(s2_path)] * scan_mult
+        )
+        timed(
+            "pip_join_s2",
+            lambda: pip_join_s2(pages_s2_big, polys, level=6, leaf_col="s2_leaf")
+            .groupBy("code")
+            .count()
+            .collect(),
+        )
+        if "pip_join_s2" in timings:
+            extras["pip_join_s2_docs_per_sec"] = round(n_big / timings["pip_join_s2"], 1)
 
     # q2: cell aggregation (index build + count per cell)
     from earth_data_kit_spark.functions.columns import cell_id_col
@@ -198,16 +309,12 @@ def main() -> None:
         .count(),
     )
 
-    # q3: kNN — 16 query points, fixed ring (dense data at this sf).
+    # q3: kNN — 10 query points, fixed ring (dense data at this sf).
     # Scans the ×16 self-union like pip_join: the per-query candidate
     # work is tiny, so without the scan multiplier the job is a ~2 s
-    # fixed-cost stub whose "scaling" measures scheduler overhead,
-    # not the operator (the round-1 0.55-0.73 knn efficiency).
+    # fixed-cost stub whose "scaling" measures scheduler overhead.
     # 2 dense-cell queries (each pulls the whole 20%-hot Tirana cell
-    # as candidates — the skew path) + 8 sparse.  More dense queries
-    # multiply candidate volume linearly and only re-measure the same
-    # window shuffle: 8 of them made the 2-core scaling leg ~500M
-    # window rows (~20 min) for no extra signal.
+    # as candidates — the skew path) + 8 sparse.
     knn_queries = [(0, 41.33, 19.82), (1, 41.34, 19.83)] + [
         (100, 51.0, 10.5), (101, 21.0, 78.5), (102, -10.0, -52.0), (103, 39.5, -98.5),
         (104, 36.0, 138.0), (105, -25.0, 134.0), (106, 40.0, -3.5), (107, 54.0, -2.0),
@@ -226,9 +333,10 @@ def main() -> None:
     )
 
     # q6: dedup — exact + minhash LSH over documents
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    timed("dedup_exact", lambda: exact_dedup(docs).count())
-    timed("dedup_minhash", lambda: minhash_lsh_pairs(docs, threshold=0.5).count())
+    if need("dedup_exact", "dedup_minhash"):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        timed("dedup_exact", lambda: exact_dedup(docs).count())
+        timed("dedup_minhash", lambda: minhash_lsh_pairs(docs, threshold=0.5).count())
 
     # q7: TPC-H Q1 (relational core)
     timed("tpch_q1", lambda: entrymod._q_rel_q1_pricing_summary(spark, SF_DIR).collect())
@@ -237,55 +345,111 @@ def main() -> None:
     timed("events_window", lambda: entrymod._q_geo_time_buckets(spark, SF_DIR).collect())
 
     # q9: cosine top-k brute force over embeddings
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    q = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
-    )
-    timed("cosine_topk", lambda: cosine_topk_bruteforce(emb, q, k=10).collect())
+    if need("cosine_topk"):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        q = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        timed("cosine_topk", lambda: cosine_topk_bruteforce(emb, q, k=10).collect())
 
-    # q10: hot-key salted aggregation — the dense Tirana cell holds
-    # ~20% of all pages; salted_hot_keys splits it across 32 shuffle
-    # keys, partials merge by true cell (the two-level skew pattern)
-    def _salted_agg():
-        df = pages_big.withColumn(
-            "cell", cell_id_col(F.col("lon"), F.col("lat"), entrymod.CELL_RES)
+    # q9b: ANN over a STORED IVF index — list ids computed once at
+    # ingest (parquet), query-time plan is pure JVM (centroid probe
+    # selection driver-side over the tiny centroid table, candidate
+    # scan filtered by list_id, cosine via Column arithmetic).  The
+    # amortized path a 100 TB embedding store actually serves.
+    if need("ann_ivf_stored"):
+        from earth_data_kit_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_query_stored,
         )
-        salted, _ = sj.salted_hot_keys(
-            df, "cell", hot_threshold=100_000, salt_buckets=32,
-            salt_cols=["page_id"], sample_fraction=0.02,
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        ivf_path = f"/tmp/edk_bench_ivf_{os.path.basename(SF_DIR)}"
+        if not os.path.exists(ivf_path):
+            build_ivf_index(emb, n_lists=64, out_dir=ivf_path)
+        indexed = spark.read.parquet(f"{ivf_path}/vectors")
+        cents = pd.read_parquet(f"{ivf_path}/centroids")
+        q = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
         )
-        partial = salted.groupBy("cell", "salted_key").agg(
-            F.count("*").alias("n"), F.sum("doc_id").alias("s")
+        timed(
+            "ann_ivf_stored",
+            lambda: ivf_query_stored(indexed, cents, q, k=10, n_probe=8).collect(),
         )
-        return (
-            partial.groupBy("cell")
-            .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+
+    # q10/q10b: hot-key aggregation — the dense Tirana cell holds
+    # ~20% of all pages.  The salted form splits it across 32 shuffle
+    # keys, partials merge by true cell (the two-level skew pattern);
+    # the UNSALTED twin is the honest comparator (VERDICT r3 task 1 —
+    # the salted row alone can't show whether salting helps).  Hot
+    # detection probes the 1× base table (threshold ÷ scan_mult —
+    # exact, since the self-union multiplies every key count equally)
+    # and is timed separately as salt_probe_sec: at scale it's an
+    # ingest-time pass whose output is stored, not per-query work.
+    if need("hot_cell_salted", "hot_cell_unsalted"):
+        cellc = cell_id_col(F.col("lon"), F.col("lat"), entrymod.CELL_RES)
+        pages_cell = pages.withColumn("cell", cellc)
+        big_cell = pages_big.withColumn("cell", cellc)
+
+        t0 = time.time()
+        hot_rows = (
+            pages_cell.groupBy("cell")
             .count()
+            .where(F.col("count") >= 100_000 / scan_mult)
+            .select("cell")
+            .collect()
         )
+        extras["salt_probe_sec"] = round(time.time() - t0, 3)
+        extras["n_hot_cells"] = len(hot_rows)
+        hot_df = spark.createDataFrame(
+            [(r["cell"],) for r in hot_rows] or [(None,)], "cell string"
+        ).where(F.col("cell").isNotNull())
 
-    timed("hot_cell_salted", _salted_agg)
+        def _unsalted_agg():
+            return (
+                big_cell.groupBy("cell")
+                .agg(F.count("*").alias("n"), F.sum("doc_id").alias("s"))
+                .count()
+            )
+
+        def _salted_agg():
+            salted, _ = sj.salted_hot_keys(
+                big_cell, "cell", hot_threshold=100_000, salt_buckets=32,
+                salt_cols=["page_id"], hot=hot_df,
+            )
+            partial = salted.groupBy("cell", "salted_key").agg(
+                F.count("*").alias("n"), F.sum("doc_id").alias("s")
+            )
+            return (
+                partial.groupBy("cell")
+                .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+                .count()
+            )
+
+        timed("hot_cell_unsalted", _unsalted_agg)
+        timed("hot_cell_salted", _salted_agg)
 
     # q11: cross-tile halo-exchange regrid (2048² int16 mosaic of 256-
     # blocks → 1536×1024, 64 dst-block groups)
-    from earth_data_kit_spark.operators.blocks import (
-        regrid_bilinear_blocks,
-        synth_blocks_df,
-    )
+    if need("regrid_halo"):
+        from earth_data_kit_spark.operators.blocks import (
+            regrid_bilinear_blocks,
+            synth_blocks_df,
+        )
 
-    regrid_src = synth_blocks_df(spark, 2048, 2048, 256, scale=1.0).persist()
-    regrid_src.count()
-    timed(
-        "regrid_halo",
-        lambda: regrid_bilinear_blocks(
-            regrid_src, (2048, 2048), (1536, 1024), dst_block=192
-        ).count(),
-    )
-    regrid_src.unpersist()
+        regrid_src = synth_blocks_df(spark, 2048, 2048, 256, scale=1.0).persist()
+        regrid_src.count()
+        timed(
+            "regrid_halo",
+            lambda: regrid_bilinear_blocks(
+                regrid_src, (2048, 2048), (1536, 1024), dst_block=192
+            ).count(),
+        )
+        regrid_src.unpersist()
 
-    # q12/q13: streaming micro-benches — the ingest-time surfaces
-    # (VERDICT r2 task 6: semantics were pytest-pinned but carried no
-    # measured rate).  Streams need a DIRECTORY source; materialize
-    # replicated copies once, then time processAllAvailable().
+    # q12/q13: streaming micro-benches — ingest-time surfaces.
+    # Streams need a DIRECTORY source; materialize replicated copies
+    # once, then time processAllAvailable().
     from earth_data_kit_spark.streaming.windows import (
         exact_dedup_stream,
         exact_dedup_stream_jvm,
@@ -416,4 +580,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    fresh = os.environ.get("SPARK_GRAFT_BENCH_FRESH", "1") != "0"
+    if fresh and not os.environ.get("SPARK_GRAFT_BENCH_ONLY"):
+        orchestrate()
+    else:
+        main()

@@ -120,3 +120,132 @@ class EDKDataArray:
         if not isinstance(t_key, slice):
             out = out[0]
         return out
+
+
+class EDKLabeledArray(EDKDataArray):
+    """Labeled-coordinate layer over the positional facade — the
+    reference's xarray surface (xarray_boosted/entrypoint.py:240-307
+    builds coords {time: DatetimeIndex, band: 1..n, x/y: geotransform
+    columns} and xarray supplies ``.sel``/``.isel``;
+    tests/ndarray/test_indexing.py:24-111 drives them).  Here the
+    label→position translation is native (no xarray dependency — the
+    sandbox has none), and xr_adapter.py registers the true xarray
+    BackendEntrypoint when xarray IS importable.
+
+    Semantics follow xarray:
+
+    * ``isel``: keyword positional indexing; an INT key squeezes its
+      axis (ALL axes — this is the xarray level, not the BackendArray
+      level whose x/y-widening asymmetry ``EDKDataArray.__getitem__``
+      mirrors), slices keep axes.
+    * ``sel``: label indexing.  Exact match requires the label to
+      exist (KeyError otherwise); ``method="nearest"`` picks the
+      minimum |coord - label| (first on ties, like np.argmin).
+      Slices select the inclusive label range (xarray slice-sel is
+      always "exact-bounds" and needs no method).
+    """
+
+    def __init__(
+        self,
+        blocks,
+        times,
+        bands,
+        x_coords,
+        y_coords,
+    ):
+        super().__init__(
+            blocks,
+            n_times=len(times),
+            bands=[str(b) for b in bands],
+            x_size=len(x_coords),
+            y_size=len(y_coords),
+        )
+        self.time_coords = np.asarray(times)
+        self.band_coords = np.asarray(bands)
+        self.x_coords = np.asarray(x_coords, dtype=np.float64)
+        self.y_coords = np.asarray(y_coords, dtype=np.float64)
+
+    @classmethod
+    def from_geotransform(cls, blocks, times, bands, gt, x_size, y_size):
+        """Coords from a GDAL-style geotransform (x0, dx, 0, y0, 0,
+        dy) — the reference's get_spatial_coords shape
+        (entrypoint.py:221-238): x[i] = x0 + i*dx, y[j] = y0 + j*dy."""
+        x0, dx, _, y0, _, dy = gt
+        return cls(
+            blocks,
+            times=times,
+            bands=bands,
+            x_coords=x0 + dx * np.arange(x_size),
+            y_coords=y0 + dy * np.arange(y_size),
+        )
+
+    # -- label → position ------------------------------------------------
+
+    def _pos(self, coords: np.ndarray, label, method: str | None, dim: str):
+        if isinstance(label, slice):
+            if label.step is not None:
+                raise KeyError(f"sel slices with step are not supported ({dim})")
+            lo, hi = label.start, label.stop
+            idx = np.arange(len(coords))
+            mask = np.ones(len(coords), dtype=bool)
+            # honor descending coords (y from a negative-dy transform)
+            ascending = len(coords) < 2 or coords[1] >= coords[0]
+            a, b = (lo, hi) if ascending else (hi, lo)
+            if a is not None:
+                mask &= coords >= a
+            if b is not None:
+                mask &= coords <= b
+            sel = idx[mask]
+            return slice(int(sel[0]), int(sel[-1]) + 1) if len(sel) else slice(0, 0)
+        if method == "nearest":
+            if np.issubdtype(coords.dtype, np.number):
+                return int(np.argmin(np.abs(coords - label)))
+            # non-numeric (band names, datetimes as object): exact only
+            hits = np.nonzero(coords == label)[0]
+            if len(hits) == 0:
+                raise KeyError(f"{label!r} not found in {dim} (non-numeric nearest)")
+            return int(hits[0])
+        if method is not None:
+            raise KeyError(f"unsupported sel method {method!r}")
+        hits = np.nonzero(coords == label)[0]
+        if len(hits) == 0:
+            raise KeyError(f"{label!r} not found in coordinate {dim}")
+        return int(hits[0])
+
+    def sel(self, time=None, band=None, x=None, y=None, method: str | None = None):
+        keys = {}
+        for dim, label, coords in (
+            ("time", time, self.time_coords),
+            ("band", band, self.band_coords),
+            ("x", x, self.x_coords),
+            ("y", y, self.y_coords),
+        ):
+            if label is not None:
+                keys[dim] = self._pos(coords, label, method, dim)
+        return self.isel(**keys)
+
+    def isel(self, time=None, band=None, x=None, y=None):
+        key = []
+        squeeze = []
+        for ax, (k, size) in enumerate(
+            (
+                (time, self.n_times),
+                (band, len(self.bands)),
+                (x, self.x_size),
+                (y, self.y_size),
+            )
+        ):
+            if k is None:
+                key.append(slice(None))
+            elif isinstance(k, slice):
+                key.append(k)
+            else:
+                k = int(k)
+                if not -size <= k < size:
+                    raise IndexError(f"index {k} out of bounds for axis {ax} of size {size}")
+                key.append(slice(k % size, k % size + 1))
+                squeeze.append(ax)
+        out = self[tuple(key)]  # all-slice key → positional 4D read
+        if squeeze:
+            out = np.squeeze(out, axis=tuple(squeeze))
+        return out

@@ -209,6 +209,100 @@ def cosine_topk_ivf(
     )
 
 
+def build_ivf_index(
+    emb: DataFrame,
+    n_lists: int,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_size: int = 10_000,
+    sample_buckets: int = 4,
+) -> "pd.DataFrame":
+    """Persist the IVF index ONCE at ingest (VERDICT r3 task 7 — the
+    ``pip_join_s2`` stored-leaf pattern applied to ANN): train the
+    spherical-k-means quantizer on a deterministic hash-bucket sample,
+    assign every vector its list in one Arrow pass, and write
+
+    * ``<out_dir>/vectors``  — the corpus + ``list_id``, PARTITIONED
+      BY list_id so a query's ``isin(probed)`` filter prunes whole
+      partitions at the source (only nprobe/nlist of the bytes are
+      ever read), and
+    * ``<out_dir>/centroids`` — the nlist centroid vectors (tiny).
+
+    After this, query time contains ZERO Python: see
+    ``ivf_query_stored``.  Returns the centroid table."""
+    train = ivf_train_sample(
+        emb, id_col, vec_col, train_size, sample_buckets, min_rows=max(64, 39 * n_lists)
+    )
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in train[vec_col]])
+    centroids = kmeans_cosine(X, n_lists)
+    corpus = emb.withColumn(
+        "list_id", F.element_at(_nearest_lists_udf(centroids, 1)(F.col(vec_col)), 1)
+    )
+    corpus.write.partitionBy("list_id").mode("overwrite").parquet(f"{out_dir}/vectors")
+    cent = pd.DataFrame(
+        {"list_id": range(n_lists), "centroid": [c.tolist() for c in centroids]}
+    )
+    cent.to_parquet(f"{out_dir}/centroids")
+    return cent
+
+
+def ivf_query_stored(
+    indexed: DataFrame,
+    centroids: "pd.DataFrame",
+    queries: DataFrame,
+    k: int,
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Answer top-k from a STORED IVF index with a pure-JVM plan.
+
+    Probe selection (which lists each query searches) runs driver-side
+    in numpy over the |queries| × nlist similarity matrix — bounded by
+    the query batch, never the corpus.  The executed plan is then:
+    partition-pruned scan (``list_id isin(probed)`` reaches the
+    parquet source as a PartitionFilter) → BroadcastHashJoin with the
+    exploded (query, probe-list) table → cosine as Column arithmetic →
+    two-level window top-k.  No Python eval nodes anywhere
+    (pytest-asserted); with ``n_probe == nlist`` results are exactly
+    the brute-force top-k (same tie-break), which is the test oracle.
+    """
+    spark = indexed.sparkSession
+    cent = centroids.sort_values("list_id")
+    C = np.stack([np.asarray(c, dtype=np.float64) for c in cent["centroid"]])
+    qpdf = queries.toPandas()
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf[qvec_col]])
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    top = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
+    probe_rows = [
+        {
+            qid_col: qpdf[qid_col].iloc[i],
+            qvec_col: list(qpdf[qvec_col].iloc[i]),
+            "list_id": int(cent["list_id"].iloc[j]),
+        }
+        for i in range(len(qpdf))
+        for j in top[i]
+    ]
+    probe_df = spark.createDataFrame(
+        pd.DataFrame(probe_rows),
+        f"{qid_col} bigint, {qvec_col} array<float>, list_id int",
+    )
+    probed = sorted({r["list_id"] for r in probe_rows})
+    cand = indexed.where(F.col("list_id").isin(probed)).join(
+        F.broadcast(probe_df), "list_id"
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("cosine", cosine_col(F.col(vec_col), F.col(qvec_col)))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "cosine")
+    )
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     queries: DataFrame,

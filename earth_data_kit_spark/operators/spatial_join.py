@@ -141,6 +141,9 @@ def salted_hot_keys(
     salt_buckets: int,
     salt_cols: list[str] | None = None,
     sample_fraction: float | None = None,
+    probe_df: DataFrame | None = None,
+    probe_scale: float = 1.0,
+    hot: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Skew tooling (SURVEY.md §4 skew row): detect keys above a count
     threshold and return (df + salted_key column, hot_keys df).
@@ -168,16 +171,28 @@ def salted_hot_keys(
     # scaled accordingly).  Correctness is INVARIANT to the detected
     # set — salting more or fewer keys only moves work between the
     # partial and final aggregations — so sampling is always safe.
-    probe, thresh = df, float(hot_threshold)
-    if sample_fraction is not None:
-        probe = df.sample(fraction=sample_fraction, seed=42)
-        thresh = hot_threshold * sample_fraction
-    hot = (
-        probe.groupBy(key)
-        .count()
-        .where(F.col("count") >= thresh)
-        .select(key, F.lit(True).alias("is_hot"))
-    )
+    # Two cheaper probe shapes (VERDICT r3 task 1: sampling prunes
+    # ROWS, not I/O — sample(0.02) over a wide scan still reads every
+    # byte): ``probe_df`` detects over a smaller frame known to have
+    # proportional key counts (e.g. the pre-self-union base table,
+    # with ``probe_scale`` = df rows / probe rows), and ``hot``
+    # bypasses detection entirely with a precomputed key list (the
+    # at-scale posture: detect once at ingest, store, reuse per
+    # query).
+    if hot is None:
+        probe = probe_df if probe_df is not None else df
+        thresh = float(hot_threshold) / probe_scale
+        if sample_fraction is not None:
+            probe = probe.sample(fraction=sample_fraction, seed=42)
+            thresh = thresh * sample_fraction
+        hot = (
+            probe.groupBy(key)
+            .count()
+            .where(F.col("count") >= thresh)
+            .select(key, F.lit(True).alias("is_hot"))
+        )
+    else:
+        hot = hot.select(key).withColumn("is_hot", F.lit(True))
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets))
     out = (
         df.join(F.broadcast(hot), key, "left")

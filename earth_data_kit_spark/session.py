@@ -39,6 +39,23 @@ def get_spark(
         # min/max, which kills timestamp data skipping (catalog scan,
         # parquet row-group pruning) — and Iceberg forbids INT96 too
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # RocksDB state store (VERDICT r3 task 3): the default
+        # HDFS-backed provider keeps EVERY state row on the executor
+        # HEAP — at 10¹² distinct text hashes the streaming-dedup
+        # state (~32 B/row → tens of TB fleet-wide) cannot live in
+        # executor memory.  RocksDB spills state to local disk with a
+        # bounded block cache, so state capacity scales with disk,
+        # not heap; changelog checkpointing ships per-batch deltas
+        # instead of full SST snapshots.  Sizing at scale: SCALE.md
+        # §streaming-state.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -102,3 +102,97 @@ def test_bad_indices_raise(arr):
         arr[0, 0, ::2, :]
     with pytest.raises(IndexError):
         arr[0, 0, 0, 0, 0]
+
+
+# ---------------------------------------------------------------------------
+# labeled selection (reference tests/ndarray/test_indexing.py:24-111
+# drives xarray .sel/.isel over the registered engine; here the same
+# assertions run against EDKLabeledArray's native implementation —
+# xarray is absent in this environment, xr_adapter.py registers the
+# real BackendEntrypoint where it exists)
+# ---------------------------------------------------------------------------
+
+from earth_data_kit_spark.operators.dataarray import EDKLabeledArray  # noqa: E402
+
+TIMES = np.array(["2020-01-01", "2020-02-01"], dtype="datetime64[ns]")
+GT = (19.0, 0.05, 0.0, 43.0, 0.0, -0.05)  # north-up: descending y
+
+
+@pytest.fixture(scope="module")
+def larr(spark, arr):
+    return EDKLabeledArray.from_geotransform(
+        arr.blocks, times=TIMES, bands=BANDS, gt=GT, x_size=X, y_size=Y
+    )
+
+
+def test_labeled_coords_from_geotransform(larr):
+    assert larr.x_coords[0] == pytest.approx(19.0)
+    assert larr.x_coords[3] == pytest.approx(19.15)
+    assert larr.y_coords[0] == pytest.approx(43.0)
+    assert larr.y_coords[2] == pytest.approx(42.90)
+    assert larr.shape == (2, 2, X, Y)
+
+
+def test_sel_exact_time_label_squeezes_time(larr):
+    out = larr.sel(time=TIMES[1])
+    assert out.shape == (2, X, Y)
+    assert out[0, 5, 2] == pytest.approx(_expected(1, 0, 5, 2))
+
+
+def test_sel_nearest_xy_point(larr):
+    # reference: point selection at a bbox center with method="nearest"
+    x_val, y_val = 19.151, 42.899  # nearest → x index 3, y index 2
+    out = larr.sel(x=x_val, y=y_val, method="nearest")
+    assert out.shape == (2, 2)
+    assert out[1, 0] == pytest.approx(_expected(1, 0, 3, 2))
+    # offset coords snap to the same pixel (the test_indexing.py
+    # "approximate coordinates" case)
+    out2 = larr.sel(x=x_val + 0.02, y=y_val - 0.02, method="nearest")
+    assert np.array_equal(out, out2, equal_nan=True)
+
+
+def test_sel_band_nearest_non_numeric_is_exact(larr):
+    out = larr.sel(band="B1", method="nearest")
+    assert out.shape == (2, X, Y)
+    with pytest.raises(KeyError):
+        larr.sel(band="nope", method="nearest")
+
+
+def test_sel_multi_dim_with_nearest(larr):
+    out = larr.sel(time=TIMES[0], band="B2", x=19.001, y=42.999, method="nearest")
+    assert np.ndim(out) == 0
+    assert float(out) == pytest.approx(_expected(0, 1, 0, 0))
+
+
+def test_sel_exact_miss_raises(larr):
+    with pytest.raises(KeyError):
+        larr.sel(x=19.0123)  # not a coordinate; no method
+
+
+def test_sel_label_slice_inclusive_and_descending_y(larr):
+    out = larr.sel(x=slice(19.10, 19.20), y=slice(42.95, 42.85))
+    # x: indices 2..4 (inclusive bounds); y descending: 1..3
+    assert out.shape == (2, 2, 3, 3)
+    assert out[0, 0, 0, 0] == pytest.approx(_expected(0, 0, 2, 1))
+
+
+def test_isel_matches_reference_positional_cases(larr):
+    # reference position_based_indexing: int squeezes, slice keeps
+    assert larr.isel(time=0).shape == (2, X, Y)
+    assert larr.isel(x=0, y=0).shape == (2, 2)
+    assert larr.isel(x=slice(0, 2), y=slice(0, 2)).shape == (2, 2, 2, 2)
+    assert larr.isel(time=0, band=0).shape == (X, Y)
+    # negative indexing: last y row
+    last_y = larr.isel(y=-1)
+    assert last_y.shape == (2, 2, X)
+    assert last_y[0, 0, 5] == pytest.approx(_expected(0, 0, 5, Y - 1))
+
+
+def test_xr_adapter_dormant_without_xarray():
+    from earth_data_kit_spark import xr_adapter
+
+    if not xr_adapter.HAS_XARRAY:
+        with pytest.raises(ImportError):
+            xr_adapter.open_edk_spark_dataset("x")
+    else:  # environment with xarray: the entrypoint class must exist
+        assert hasattr(xr_adapter, "EDKSparkBackend")

@@ -135,3 +135,57 @@ def test_ivf_train_sample_is_plain_filtered_scan_and_deterministic(spark, emb):
         for r in emb.where(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(4)) == 0).collect()
     )
     assert list(a["vec_id"]) == expected
+
+
+def test_ivf_stored_index_pure_jvm_and_exact_at_full_probe(spark, emb, queries, tmp_path):
+    """VERDICT r3 task 7: the persisted-index query path.  (a) With
+    n_probe == n_lists the stored path IS brute force (same
+    tie-break) — exact oracle.  (b) The query-time plan contains no
+    Python eval nodes and the list_id filter reaches the scan as a
+    partition filter.  (c) A partial probe keeps recall high."""
+    out = str(tmp_path / "ivf")
+    n_lists = 8
+    sim.build_ivf_index(emb, n_lists=n_lists, out_dir=out)
+    import pandas as pd
+
+    indexed = spark.read.parquet(f"{out}/vectors")
+    cents = pd.read_parquet(f"{out}/centroids")
+    assert len(cents) == n_lists
+
+    full = sim.ivf_query_stored(indexed, cents, queries, k=10, n_probe=n_lists)
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    for node in ("ArrowEvalPython", "BatchEvalPython", "FlatMapsInPandas", "MapInPandas"):
+        assert node not in plan, f"Python leaked into stored-ANN query plan: {node}"
+    assert "PartitionFilters" in plan and "list_id" in plan
+
+    exp = oracle_topk(emb.toPandas(), queries.toPandas(), 10)
+    by_q = {}
+    for r in sorted(full.collect(), key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    assert by_q == exp  # full probe == brute force, ordered
+
+    part = sim.ivf_query_stored(indexed, cents, queries, k=10, n_probe=6)
+    got = {}
+    for r in part.collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(got.get(q, set()) & set(top)) for q, top in exp.items())
+    tot = sum(len(top) for top in exp.values())
+    assert hits / tot >= 0.8, f"partial-probe recall {hits/tot}"
+
+
+def test_ivf_stored_partition_pruning_reads_probed_lists_only(spark, emb, tmp_path):
+    """The isin(probed) filter must prune unprobed list partitions at
+    the source — the scan should touch files from exactly the probed
+    list_id directories."""
+    out = str(tmp_path / "ivf2")
+    sim.build_ivf_index(emb, n_lists=8, out_dir=out)
+    indexed = spark.read.parquet(f"{out}/vectors")
+    probed = [0, 3]
+    files = (
+        indexed.where(F.col("list_id").isin(probed))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    for r in files:
+        assert any(f"list_id={p}/" in r.f for p in probed), r.f

@@ -348,3 +348,19 @@ def test_sliding_window_stream_matches_batch(spark, tmp_path):
     assert s == b and len(b) > 0
     # two windows per event in both
     assert sum(n for _, n, _ in b) == 2 * ev.count()
+
+
+def test_rocksdb_state_store_configured(spark):
+    """session.py must pin the RocksDB provider — heap-backed state
+    cannot hold one row per distinct hash at corpus scale (SCALE.md
+    §streaming-state; VERDICT r3 task 3)."""
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        == "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    assert (
+        spark.conf.get(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        )
+        == "true"
+    )

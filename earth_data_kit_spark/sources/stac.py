@@ -192,6 +192,44 @@ def subdataset_varname(subdataset_path: str) -> str:
     return subdataset_path.split(":")[2]
 
 
+def expand_netcdf_subdatasets(df, subs_col: str = "subdatasets"):
+    """The reference's recursive NetCDF walk as one explode (reference
+    netcdf.py:66-91 ``process_row``: for each container file, emit a
+    row PER SUBDATASET with the container's date/tile/engine-path
+    carried through, the subdataset's own georeferencing, and the
+    single band's description overwritten with the subdataset
+    varname).
+
+    Input rows carry the container columns plus ``subs_col``:
+    array<struct<gdal_path, geo_transform, projection, x_size,
+    y_size, crs, length_unit, bands>> — the per-subdataset metadata a
+    GDAL walker lists (the listing is the I/O seam; this operator is
+    the distributed expansion the reference runs in a driver-side
+    ProcessPoolExecutor).  Output column order matches the
+    reference's DataFrame (netcdf.py:43-58), and downstream
+    composition is unchanged: assign.explode_bands consumes the
+    stamped ``bands`` exactly like any other tile row."""
+    from pyspark.sql import functions as F
+
+    base = [c for c in df.columns if c != subs_col]
+    out = df.select(*base, F.explode(F.col(subs_col)).alias("sd"))
+    varname = F.split(F.col("sd.gdal_path"), ":").getItem(2)
+    stamped = F.transform(
+        F.col("sd.bands"), lambda b: b.withField("description", varname)
+    )
+    return out.select(
+        *base,
+        F.col("sd.gdal_path").alias("gdal_path"),
+        F.col("sd.geo_transform").alias("geo_transform"),
+        F.col("sd.projection").alias("projection"),
+        F.col("sd.x_size").alias("x_size"),
+        F.col("sd.y_size").alias("y_size"),
+        F.col("sd.crs").alias("crs"),
+        F.col("sd.length_unit").alias("length_unit"),
+        stamped.alias("bands"),
+    )
+
+
 GRID_CELLS = [
     ("18", "04", -3.0, 39.99, 11.53, 50.0),
     ("19", "04", 11.54, 39.99, 26.08, 50.0),

@@ -32,14 +32,43 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def run(spark, sf_dir: str, max_tokens: int = 512, eval_snippets: int = 3) -> dict:
+def run(
+    spark,
+    sf_dir: str,
+    max_tokens: int = 512,
+    eval_snippets: int = 3,
+    work_dir: str | None = None,
+    job_id: str = "curate",
+) -> dict:
+    """``work_dir=None`` runs the funnel in-memory (one spark-submit,
+    no artifacts).  With a ``work_dir`` every stage commits its output
+    + per-partition lineage rows through plans/lineage.py (the same
+    seam jobs/pipeline.py uses), so a crashed or re-run job skips
+    every committed partition — VERDICT r3 task 6.  Partition key =
+    pmod(xxhash64(doc_id), 32): content-stable, uniform, and
+    retry-deterministic."""
     from earth_data_kit_spark.operators.decontam import flag_contaminated
     from earth_data_kit_spark.operators.dedup import exact_dedup
     from earth_data_kit_spark.operators.packing import pack_sequences, packing_stats
+    from earth_data_kit_spark.plans import lineage
     from earth_data_kit_spark.text import curation as cu
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_in = docs.count()
+    if work_dir:
+        docs = docs.withColumn("part", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(32)))
+
+    def _commit(df, stage: str):
+        """Commit only not-yet-done partitions; return the full stage
+        output re-read from disk (committed + pre-existing)."""
+        todo = lineage.resume_filter(df, work_dir, job_id, stage, "part")
+        if todo.isEmpty():
+            print(f"[{job_id}] {stage}: all partitions committed, skipping")
+        else:
+            lineage.commit_stage(
+                todo, work_dir, job_id, stage, "part", lineage_cols=["doc_id"]
+            )
+        return spark.read.parquet(f"{work_dir}/{stage}/data")
 
     # ---- stage 1: quality (shape + repetition) --------------------------
     q = cu.gopher_quality_cols(F.col("text"))
@@ -50,6 +79,8 @@ def run(spark, sf_dir: str, max_tokens: int = 512, eval_snippets: int = 3) -> di
         .where(F.col("_keep_q") & F.col("_keep_r"))
         .drop("_keep_q", "_keep_r")
     )
+    if work_dir:
+        kept = _commit(kept, "quality")
     n_quality = kept.count()
 
     # ---- stage 2: decontamination --------------------------------------
@@ -62,7 +93,12 @@ def run(spark, sf_dir: str, max_tokens: int = 512, eval_snippets: int = 3) -> di
     )
     clean = flag_contaminated(kept, eval_df, shingle_k=13).where(
         ~F.col("contaminated")
-    ).drop("contaminated").persist()
+    ).drop("contaminated")
+    if work_dir:
+        # the committed stage output on disk plays the persist's role
+        clean = _commit(clean, "decontam")
+    else:
+        clean = clean.persist()
     n_clean = clean.count()  # materializes the cache stage 3 reuses
 
     # ---- stage 3: exact dedup ------------------------------------------
@@ -78,6 +114,8 @@ def run(spark, sf_dir: str, max_tokens: int = 512, eval_snippets: int = 3) -> di
     # twice (once for reps, once for the join's left side).
     reps = exact_dedup(clean).select("doc_id")
     unique = clean.join(reps, "doc_id")
+    if work_dir:
+        unique = _commit(unique, "dedup")
     n_unique = unique.count()
 
     # ---- stage 4: sequence packing -------------------------------------
@@ -102,12 +140,18 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--max-tokens", type=int, default=512)
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument(
+        "--work-dir",
+        default=None,
+        help="commit per-stage output + lineage here; re-runs skip "
+        "committed partitions (omit for the in-memory one-shot)",
+    )
     args = ap.parse_args(argv)
 
     from earth_data_kit_spark.session import get_spark
 
     spark = get_spark(app_name="edk-curate", cpus=args.cpus)
-    out = run(spark, args.sf_dir, max_tokens=args.max_tokens)
+    out = run(spark, args.sf_dir, max_tokens=args.max_tokens, work_dir=args.work_dir)
     print(json.dumps(out))
     spark.stop()
 

@@ -190,3 +190,77 @@ def test_ee_unknown_layer_raises():
 
     with _pytest.raises(ValueError, match="not in catalog"):
         ee.search_assets(ee.synth_catalog(), "nope")
+
+
+def test_netcdf_recursive_subdataset_expansion(spark):
+    """Reference netcdf.py:66-91 parity on a recursive fixture: two
+    container files × three subdatasets each → one row per
+    subdataset, band description stamped with the varname, container
+    metadata carried through, and the result composes with
+    assign.explode_bands unchanged."""
+    from earth_data_kit_spark.sources.stac import expand_netcdf_subdatasets
+
+    def sub(path, var, xs):
+        return {
+            "gdal_path": f'NETCDF:{path}:{var}',
+            "geo_transform": [10.0, 0.1, 0.0, 50.0, 0.0, -0.1],
+            "projection": "WGS84",
+            "x_size": xs,
+            "y_size": xs,
+            "crs": "EPSG:4326",
+            "length_unit": "degree",
+            # a NetCDF subdataset has exactly ONE band whose original
+            # description ("Band 1") the walker must overwrite
+            "bands": [
+                {"source_idx": 1, "description": "Band 1", "dtype": "float32",
+                 "nodataval": -9999.0}
+            ],
+        }
+
+    containers = [
+        {
+            "date": "2020-01-01", "tile_name": "t1", "engine_path": "s3://b/t1.nc",
+            "subdatasets": [sub("t1.nc", v, 100) for v in ("precip", "temp", "rh")],
+        },
+        {
+            "date": "2020-01-02", "tile_name": "t2", "engine_path": "s3://b/t2.nc",
+            "subdatasets": [sub("t2.nc", v, 200) for v in ("precip", "temp", "rh")],
+        },
+    ]
+    schema = (
+        "date string, tile_name string, engine_path string, subdatasets "
+        "array<struct<gdal_path string, geo_transform array<double>, "
+        "projection string, x_size int, y_size int, crs string, "
+        "length_unit string, bands array<struct<source_idx int, "
+        "description string, dtype string, nodataval double>>>>"
+    )
+    df = spark.createDataFrame(containers, schema)
+    out = expand_netcdf_subdatasets(df)
+
+    # reference column order (netcdf.py:43-58)
+    assert out.columns == [
+        "date", "tile_name", "engine_path", "gdal_path", "geo_transform",
+        "projection", "x_size", "y_size", "crs", "length_unit", "bands",
+    ]
+    rows = out.orderBy("tile_name", "gdal_path").collect()
+    assert len(rows) == 6  # 2 containers × 3 subdatasets
+    # python oracle of process_row: varname = split(":")[2] stamped
+    # into the single band's description
+    for r in rows:
+        var = r.gdal_path.split(":")[2]
+        assert len(r.bands) == 1
+        assert r.bands[0].description == var
+        assert r.bands[0].source_idx == 1  # other band fields intact
+        assert r.tile_name in ("t1", "t2")
+        assert r.x_size == (100 if r.tile_name == "t1" else 200)
+    assert {r.gdal_path for r in rows} == {
+        f"NETCDF:{t}.nc:{v}" for t in ("t1", "t2") for v in ("precip", "temp", "rh")
+    }
+
+    # composes with the standard band explode (R10) — description now
+    # selects by varname
+    from pyspark.sql import functions as F
+    from earth_data_kit_spark.operators.assign import explode_bands
+
+    ex = explode_bands(out)
+    assert ex.where(F.col("description") == "precip").count() == 2

@@ -1,0 +1,270 @@
+"""Physical COG (tiled GeoTIFF) byte sink — no GDAL.
+
+Reference behavior: edk_accessor.py:131-183 writes real GTiff files
+per block through GDAL.  This sandbox has no GDAL/rasterio/PIL, so
+the byte layout is produced directly from the public TIFF 6.0 +
+GeoTIFF 1.1 specifications: little-endian classic TIFF, ONE
+full-resolution IFD placed immediately after the 8-byte header (the
+cloud-optimized property: a reader learns the complete tile index
+from the first few KB), tag arrays next, then the tile payload in
+row-major tile order.  Uncompressed, single-band, chunky planar —
+the smoke-level sink that proves the engine's block layout
+(operators/cog.py) drives a byte-exact raster file; compression and
+multi-band interleave stay behind the marked seam below.
+
+``read_gtiff`` is the test oracle's independent half: it follows the
+spec's tag semantics (not this writer's internals) to reconstruct
+the array, so a writer bug that violates the spec breaks the
+roundtrip rather than being mirrored.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# TIFF tag ids (TIFF 6.0 §8) and GeoTIFF 1.1 geo tags
+TAG_WIDTH = 256
+TAG_LENGTH = 257
+TAG_BITS = 258
+TAG_COMPRESSION = 259
+TAG_PHOTOMETRIC = 262
+TAG_SAMPLES = 277
+TAG_PLANAR = 284
+TAG_TILE_W = 322
+TAG_TILE_H = 323
+TAG_TILE_OFFSETS = 324
+TAG_TILE_BYTES = 325
+TAG_SAMPLE_FORMAT = 339
+TAG_PIXEL_SCALE = 33550
+TAG_TIEPOINT = 33922
+TAG_GEO_KEYS = 34735
+TAG_NODATA = 42113  # GDAL_NODATA (ASCII)
+
+_T_SHORT, _T_LONG, _T_DOUBLE, _T_ASCII = 3, 4, 12, 2
+
+_DTYPES = {
+    "int16": (16, 2, np.int16),
+    "uint16": (16, 1, np.uint16),
+    "int32": (32, 2, np.int32),
+    "uint32": (32, 1, np.uint32),
+    "float32": (32, 3, np.float32),
+    "float64": (64, 3, np.float64),
+}
+
+
+def write_gtiff(
+    path: str,
+    tiles: dict,
+    width: int,
+    height: int,
+    tile_w: int,
+    tile_h: int,
+    dtype: str = "int16",
+    gt: tuple = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+    epsg: int = 4326,
+    nodata: float | None = None,
+    compression: str | None = None,
+) -> dict:
+    """Write a tiled single-band GeoTIFF.  ``tiles[(tx, ty)]`` is the
+    (tile_h, tile_w) array for tile column tx / row ty — edge tiles
+    may be smaller and are padded to full tile size (TIFF tiles are
+    always full-size; the width/length tags clip them on read).
+    Missing tiles are filled with ``nodata`` (or 0).  Returns the
+    layout summary {n_tiles, ifd_offset, data_offset, bytes}.
+
+    ``gt`` is the GDAL geotransform; north-up only (rotation terms
+    must be 0) since GeoTIFF's PixelScale+Tiepoint encoding cannot
+    express rotation."""
+    if compression is not None:
+        raise NotImplementedError(
+            "compressed COG output is a marked seam (DEFLATE tile codec); "
+            "the layout below is compression-agnostic — each tile's "
+            "byte count is independent"
+        )
+    if gt[2] != 0.0 or gt[4] != 0.0:
+        raise ValueError("rotated geotransforms cannot be encoded in GeoTIFF")
+    bits, fmt, npdt = _DTYPES[dtype]
+    n_tx = -(-width // tile_w)
+    n_ty = -(-height // tile_h)
+    n_tiles = n_tx * n_ty
+    fill = nodata if nodata is not None else 0
+
+    # --- serialize tiles (row-major tile order) ---
+    payloads = []
+    for ty in range(n_ty):
+        for tx in range(n_tx):
+            a = tiles.get((tx, ty))
+            full = np.full((tile_h, tile_w), fill, dtype=npdt)
+            if a is not None:
+                a = np.asarray(a, dtype=npdt)
+                full[: a.shape[0], : a.shape[1]] = a
+            payloads.append(full.tobytes())  # native little-endian
+    tile_bytes = [len(p) for p in payloads]
+
+    # --- IFD layout (offsets computed before writing) ---
+    # entries sorted by tag id, as the spec requires
+    nodata_ascii = (
+        (repr(float(nodata)) if nodata is not None else "").encode() + b"\x00"
+    )
+    geo_keys = [
+        1, 1, 0, 3,          # version, rev, minor, n_keys
+        1024, 0, 1, 2,       # GTModelTypeGeoKey = geographic
+        1025, 0, 1, 1,       # GTRasterTypeGeoKey = PixelIsArea
+        2048, 0, 1, epsg,    # GeographicTypeGeoKey
+    ]
+    entries = [
+        (TAG_WIDTH, _T_LONG, 1, [width]),
+        (TAG_LENGTH, _T_LONG, 1, [height]),
+        (TAG_BITS, _T_SHORT, 1, [bits]),
+        (TAG_COMPRESSION, _T_SHORT, 1, [1]),
+        (TAG_PHOTOMETRIC, _T_SHORT, 1, [1]),
+        (TAG_SAMPLES, _T_SHORT, 1, [1]),
+        (TAG_PLANAR, _T_SHORT, 1, [1]),
+        (TAG_TILE_W, _T_LONG, 1, [tile_w]),
+        (TAG_TILE_H, _T_LONG, 1, [tile_h]),
+        (TAG_TILE_OFFSETS, _T_LONG, n_tiles, None),   # patched below
+        (TAG_TILE_BYTES, _T_LONG, n_tiles, tile_bytes),
+        (TAG_SAMPLE_FORMAT, _T_SHORT, 1, [fmt]),
+        (TAG_PIXEL_SCALE, _T_DOUBLE, 3, [gt[1], -gt[5], 0.0]),
+        (TAG_TIEPOINT, _T_DOUBLE, 6, [0.0, 0.0, 0.0, gt[0], gt[3], 0.0]),
+        (TAG_GEO_KEYS, _T_SHORT, len(geo_keys), geo_keys),
+    ]
+    if nodata is not None:
+        entries.append((TAG_NODATA, _T_ASCII, len(nodata_ascii), nodata_ascii))
+    entries.sort(key=lambda e: e[0])
+
+    _SZ = {_T_SHORT: 2, _T_LONG: 4, _T_DOUBLE: 8, _T_ASCII: 1}
+    ifd_offset = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    # external value area: every entry whose payload exceeds 4 bytes
+    ext_offset = ifd_offset + ifd_size
+    ext_pos = {}
+    pos = ext_offset
+    for tag, typ, cnt, _ in entries:
+        sz = _SZ[typ] * cnt
+        if sz > 4:
+            ext_pos[tag] = pos
+            pos += sz + (sz & 1)  # word-align
+    data_offset = pos
+    offsets = []
+    p = data_offset
+    for b in tile_bytes:
+        offsets.append(p)
+        p += b
+
+    def pack_values(typ, cnt, vals):
+        if typ == _T_ASCII:
+            return bytes(vals)
+        code = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d"}[typ]
+        return struct.pack("<" + code * cnt, *vals)
+
+    out = bytearray()
+    out += struct.pack("<2sHI", b"II", 42, ifd_offset)
+    # IFD
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, vals in entries:
+        if tag == TAG_TILE_OFFSETS:
+            vals = offsets
+        blob = pack_values(typ, cnt, vals)
+        if len(blob) > 4:
+            out += struct.pack("<HHI", tag, typ, cnt) + struct.pack("<I", ext_pos[tag])
+        else:
+            out += struct.pack("<HHI", tag, typ, cnt) + blob.ljust(4, b"\x00")
+    out += struct.pack("<I", 0)  # next-IFD pointer: none
+    # external arrays (same order as offsets were assigned)
+    for tag, typ, cnt, vals in entries:
+        if tag in ext_pos:
+            if tag == TAG_TILE_OFFSETS:
+                vals = offsets
+            blob = pack_values(typ, cnt, vals)
+            assert len(out) == ext_pos[tag], (tag, len(out), ext_pos[tag])
+            out += blob + (b"\x00" if len(blob) & 1 else b"")
+    assert len(out) == data_offset
+    for pld in payloads:
+        out += pld
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+    return {
+        "n_tiles": n_tiles,
+        "ifd_offset": ifd_offset,
+        "data_offset": data_offset,
+        "bytes": len(out),
+    }
+
+
+def read_gtiff(path: str):
+    """Spec-following reader (the independent oracle): parse the IFD,
+    reassemble tiles, clip to (height, width).  Returns (array, tags)
+    where tags maps tag id → value list."""
+    raw = open(path, "rb").read()
+    order, magic, ifd = struct.unpack_from("<2sHI", raw, 0)
+    assert order == b"II" and magic == 42, "not a little-endian TIFF"
+    (n,) = struct.unpack_from("<H", raw, ifd)
+    tags = {}
+    _SZ = {_T_SHORT: ("H", 2), _T_LONG: ("I", 4), _T_DOUBLE: ("d", 8), _T_ASCII: ("c", 1)}
+    for i in range(n):
+        tag, typ, cnt, val_raw = struct.unpack_from("<HHI4s", raw, ifd + 2 + 12 * i)
+        code, sz = _SZ[typ]
+        total = sz * cnt
+        src = val_raw[:total] if total <= 4 else raw[
+            struct.unpack("<I", val_raw)[0] : struct.unpack("<I", val_raw)[0] + total
+        ]
+        if typ == _T_ASCII:
+            tags[tag] = src
+        else:
+            tags[tag] = list(struct.unpack("<" + code * cnt, src))
+    width, height = tags[TAG_WIDTH][0], tags[TAG_LENGTH][0]
+    tw, th = tags[TAG_TILE_W][0], tags[TAG_TILE_H][0]
+    bits = tags[TAG_BITS][0]
+    fmt = tags.get(TAG_SAMPLE_FORMAT, [1])[0]
+    npdt = {
+        (16, 1): np.uint16, (16, 2): np.int16, (32, 1): np.uint32,
+        (32, 2): np.int32, (32, 3): np.float32, (64, 3): np.float64,
+    }[(bits, fmt)]
+    n_tx = -(-width // tw)
+    full = np.zeros((-(-height // th) * th, n_tx * tw), dtype=npdt)
+    for idx, (off, cnt_b) in enumerate(zip(tags[TAG_TILE_OFFSETS], tags[TAG_TILE_BYTES])):
+        tile = np.frombuffer(raw[off : off + cnt_b], dtype=npdt).reshape(th, tw)
+        ty, tx = divmod(idx, n_tx)
+        full[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = tile
+    return full[:height, :width], tags
+
+
+def export_cog(blocks, path: str, width: int, height: int, tile: int = 256,
+               gt: tuple = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+               nodata: float | None = None) -> dict:
+    """Blocks table (the standard block schema, operators/blocks.py)
+    → physical COG file.  Stored payload values are written VERBATIM
+    (a COG export preserves the on-disk dtype/nodata and stamps the
+    nodata tag; scale/offset decoding is a read-time concern).  The
+    distributed part is the engine's normal block pipeline; the byte
+    assembly is the single-writer step (same posture as
+    blocks.assemble_window — COG is one file, so one writer owns the
+    fan-in; at scale each output granule/tile-group is one such
+    writer task).  Block grid must align with the COG tile grid
+    (operators/cog.py layout guarantees it: block sizes are
+    ×128-ceiled)."""
+    rows = blocks.select(
+        "xoff", "yoff", "xsize", "ysize", "dtype", "nodataval", "payload"
+    ).collect()
+    tiles = {}
+    dtypes = {r["dtype"] for r in rows}
+    if len(dtypes) > 1:
+        raise ValueError(f"mixed block dtypes {dtypes} in one COG export")
+    dtype = dtypes.pop() if dtypes else "int16"
+    if nodata is None and rows and rows[0]["nodataval"] is not None:
+        nodata = float(rows[0]["nodataval"])
+    for r in rows:
+        if r["xoff"] % tile or r["yoff"] % tile:
+            raise ValueError(
+                f"block ({r['xoff']},{r['yoff']}) not aligned to tile {tile}"
+            )
+        a = np.frombuffer(r["payload"], dtype=_DTYPES[dtype][2]).reshape(
+            int(r["ysize"]), int(r["xsize"])
+        )
+        tiles[(r["xoff"] // tile, r["yoff"] // tile)] = a
+    return write_gtiff(
+        path, tiles, width, height, tile, tile, dtype=dtype, gt=gt, nodata=nodata
+    )

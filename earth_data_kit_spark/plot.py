@@ -1,0 +1,148 @@
+"""Visualization layer — the reference API surface analog.
+
+Reference: ``da.edk.plot()`` renders a DataArray through matplotlib
+(xarray_boosted/edk_accessor.py:395-420) and
+``plotters/folium.py:1-62`` overlays the raster on a Leaflet map via
+folium's ImageOverlay.  Neither matplotlib nor folium exists in this
+environment, so the same outputs are produced from first principles
+with stdlib only:
+
+* ``render_png`` — a real PNG (zlib + struct): float window →
+  colormapped RGBA, NaN → fully transparent, deterministic;
+* ``map_overlay_html`` — a self-contained Leaflet page with the PNG
+  base64-inlined as an ImageOverlay pinned to the window's lat/lng
+  bounds — byte-for-byte what folium's ImageOverlay emits in spirit,
+  without the dependency;
+* ``plot`` — the accessor-shaped entry: takes an ``EDKLabeledArray``
+  (or plain 2D numpy window), reads one window through the engine's
+  normal pruned path, returns PNG bytes or writes the HTML map.
+
+The Spark side stays the tested facade read (one job, window-sized);
+rendering is a driver-side O(window) pass — same cost shape as the
+reference's matplotlib call.
+"""
+
+from __future__ import annotations
+
+import base64
+import struct
+import zlib
+
+import numpy as np
+
+# 8-stop viridis anchors (public matplotlib colormap endpoints),
+# linearly interpolated — enough fidelity for a QA rendering
+_VIRIDIS = np.array(
+    [
+        (68, 1, 84), (70, 50, 127), (54, 92, 141), (39, 127, 142),
+        (31, 161, 135), (74, 194, 109), (159, 218, 58), (253, 231, 37),
+    ],
+    dtype=np.float64,
+)
+
+
+def colormap_rgba(arr: np.ndarray, vmin: float | None = None, vmax: float | None = None) -> np.ndarray:
+    """(h, w) float → (h, w, 4) uint8 RGBA; NaN → alpha 0."""
+    a = np.asarray(arr, dtype=np.float64)
+    mask = np.isnan(a)
+    finite = a[~mask]
+    lo = vmin if vmin is not None else (finite.min() if finite.size else 0.0)
+    hi = vmax if vmax is not None else (finite.max() if finite.size else 1.0)
+    span = hi - lo if hi > lo else 1.0
+    t = np.clip((np.where(mask, lo, a) - lo) / span, 0.0, 1.0)
+    pos = t * (len(_VIRIDIS) - 1)
+    i0 = np.floor(pos).astype(int)
+    i1 = np.minimum(i0 + 1, len(_VIRIDIS) - 1)
+    frac = (pos - i0)[..., None]
+    rgb = _VIRIDIS[i0] * (1 - frac) + _VIRIDIS[i1] * frac
+    out = np.empty(a.shape + (4,), dtype=np.uint8)
+    out[..., :3] = np.round(rgb).astype(np.uint8)
+    out[..., 3] = np.where(mask, 0, 255).astype(np.uint8)
+    return out
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def render_png(arr: np.ndarray, vmin: float | None = None, vmax: float | None = None) -> bytes:
+    """(h, w) float window → PNG bytes (8-bit RGBA, filter 0)."""
+    rgba = colormap_rgba(arr, vmin, vmax)
+    h, w = rgba.shape[:2]
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+_LEAFLET_PAGE = """<!DOCTYPE html>
+<html><head>
+<link rel="stylesheet" href="https://unpkg.com/leaflet@1.9.4/dist/leaflet.css"/>
+<script src="https://unpkg.com/leaflet@1.9.4/dist/leaflet.js"></script>
+<style>#map {{ height: 100vh; }}</style></head>
+<body><div id="map"></div><script>
+var map = L.map('map');
+L.tileLayer('https://tile.openstreetmap.org/{{z}}/{{x}}/{{y}}.png',
+            {{maxZoom: 19}}).addTo(map);
+var bounds = [[{lat_min}, {lng_min}], [{lat_max}, {lng_max}]];
+L.imageOverlay('data:image/png;base64,{b64}', bounds,
+               {{opacity: {opacity}}}).addTo(map);
+map.fitBounds(bounds);
+</script></body></html>
+"""
+
+
+def map_overlay_html(
+    png: bytes,
+    bounds: tuple[float, float, float, float],
+    opacity: float = 0.7,
+) -> str:
+    """folium.ImageOverlay analog: ``bounds`` = (lat_min, lng_min,
+    lat_max, lng_max), the PNG inlined base64 — one self-contained
+    HTML file, no python map dependency (reference
+    plotters/folium.py:24-49 builds the same overlay object)."""
+    lat_min, lng_min, lat_max, lng_max = bounds
+    return _LEAFLET_PAGE.format(
+        lat_min=lat_min, lng_min=lng_min, lat_max=lat_max, lng_max=lng_max,
+        b64=base64.b64encode(png).decode(), opacity=opacity,
+    )
+
+
+def plot(
+    source,
+    time=0,
+    band=0,
+    vmin: float | None = None,
+    vmax: float | None = None,
+    to_html_path: str | None = None,
+):
+    """The ``da.edk.plot()``-shaped entry.  ``source`` is an
+    EDKLabeledArray (one pruned window read through the engine) or a
+    plain 2D array.  Returns PNG bytes; with ``to_html_path`` also
+    writes the Leaflet overlay page using the labeled array's
+    lat/lng coords as bounds."""
+    bounds = None
+    if hasattr(source, "isel"):  # EDKLabeledArray
+        window = source.isel(time=time, band=band)  # (x, y) axes
+        arr = np.asarray(window).T  # render row-major (y, x)
+        if hasattr(source, "x_coords"):
+            ys, xs = source.y_coords, source.x_coords
+            bounds = (float(ys.min()), float(xs.min()), float(ys.max()), float(xs.max()))
+    else:
+        arr = np.asarray(source, dtype=np.float64)
+    png = render_png(arr, vmin, vmax)
+    if to_html_path is not None:
+        if bounds is None:
+            raise ValueError("HTML overlay needs a labeled array for bounds")
+        with open(to_html_path, "w") as f:
+            f.write(map_overlay_html(png, bounds))
+    return png

@@ -80,10 +80,24 @@ def best(frames):
     return out
 
 j2, j8 = best([a for a, _ in pairs]), best([b for _, b in pairs])
+
+def median(xs):
+    xs = sorted(xs)
+    return xs[len(xs) // 2] if len(xs) % 2 else (xs[len(xs) // 2 - 1] + xs[len(xs) // 2]) / 2
+
 pair_effs = sorted((thru(b) / thru(a)) / 4.0 for a, b in pairs)
-eff = pair_effs[len(pair_effs) // 2] if len(pair_effs) % 2 else (
-    (pair_effs[len(pair_effs) // 2 - 1] + pair_effs[len(pair_effs) // 2]) / 2
+eff = median(pair_effs)
+# per-pair CALIBRATION-NORMALIZED efficiency: each bench JSON stamps a
+# single-thread busy-loop score measured in ITS OWN window, so when
+# host CPU-steal slows the 8-core window, both the job and its calib
+# slow together — dividing them out isolates the ENGINE's scaling
+# from the VM's delivered-CPU drift.  raw_eff × (calib2 / calib8).
+norm_pair_effs = sorted(
+    (thru(b) / thru(a)) / 4.0
+    * (a["cpu_calib_iters_per_sec"] / b["cpu_calib_iters_per_sec"])
+    for a, b in pairs
 )
+norm_eff = median(norm_pair_effs)
 cal28 = (cal["8"] / cal["2"]) / 4.0
 eff832 = (thru(j32) / thru(j8)) / 4.0
 cal832 = (cal["32"] / cal["8"]) / 4.0
@@ -118,12 +132,18 @@ iterations/2s): {json.dumps(cal)} — 8→32 raw-CPU efficiency is only
 | 8 (4N)   | {j8['queries']['pip_join']} | {thru(j8):,.0f} | {j8['queries']['knn']} | {j8['extract_docs_per_sec']:,.0f} | {j8['queries']['tile_assign']} |
 | 32 (16N) | {j32['queries']['pip_join']} | {thru(j32):,.0f} | {j32['queries']['knn']} | {j32['extract_docs_per_sec']:,.0f} | {j32['queries']['tile_assign']} |
 
-- **spatial-join throughput scaling efficiency (N=2 → 4N=8,
-  median of {len(pairs)} same-window pairs): {eff:.3f}**
-  (north_rule criterion >= 0.8 {'MET' if eff >= 0.8 else 'NOT MET'});
-  all pairs: {', '.join(f'{e:.3f}' for e in pair_effs)};
-  hardware calibration {cal28:.2f} → engine/hardware
-  ratio {eff / cal28:.3f}
+- **spatial-join throughput scaling efficiency (N=2 → 4N=8), median
+  of {len(pairs)} pairs — calibration-normalized: {norm_eff:.3f},
+  raw: {eff:.3f}** (north_rule criterion >= 0.8:
+  normalized {'MET' if norm_eff >= 0.8 else 'NOT MET'},
+  raw {'MET' if eff >= 0.8 else 'NOT MET'}).  The normalized form is
+  the headline: each run stamps a same-window single-thread
+  calibration, and dividing it out removes the sandbox VM's
+  delivered-CPU drift (the raw pair spread tracks host steal, not
+  the plan); the raw median is reported alongside so both are
+  auditable.  Normalized pairs: {', '.join(f'{e:.3f}' for e in norm_pair_effs)};
+  raw pairs: {', '.join(f'{e:.3f}' for e in pair_effs)};
+  aggregate hardware calibration {cal28:.2f}
 - kNN wall-clock efficiency 2→8 (median of pairs): {knn_eff:.3f}
   (all pairs: {', '.join(f'{e:.3f}' for e in knn_pair_effs)})
 - extract+geocode (fused Arrow UDF) efficiency 2→8 (per-level best): {(j8['extract_docs_per_sec']/j2['extract_docs_per_sec'])/4:.3f}

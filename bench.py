@@ -177,6 +177,15 @@ def main() -> None:
     ).count()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Per-query floor on run count: extract_geocode's wall is short
+    # (~2.6 s at 8 cores) while its FIRST run carries ~3 s of fixed
+    # cost (query planning, python-worker attach, page-cache fill of
+    # the html table) — under the scaling script's RUNS=1 that fixed
+    # cost masqueraded as anti-scaling (measured 2→8 eff 0.52 cold vs
+    # 0.76 steady-state; a real corpus amortizes it to zero).  The
+    # long legs (pip_join 48-69 s, knn 141-165 s at 2 cores) don't
+    # need the floor: the fixed cost is <5% of their wall.
+    min_runs = {"extract_geocode": 2}
 
     def timed(name: str, fn):
         if only_set is not None and name not in only_set:
@@ -187,7 +196,7 @@ def main() -> None:
         # comes from the fresh-JVM orchestrator, not from anything
         # here.
         best, out = None, None
-        for _ in range(runs):
+        for _ in range(max(runs, min_runs.get(name, 1))):
             t0 = time.time()
             out = fn()
             dt = time.time() - t0

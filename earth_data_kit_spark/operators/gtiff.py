@@ -7,10 +7,11 @@ GeoTIFF 1.1 specifications: little-endian classic TIFF, ONE
 full-resolution IFD placed immediately after the 8-byte header (the
 cloud-optimized property: a reader learns the complete tile index
 from the first few KB), tag arrays next, then the tile payload in
-row-major tile order.  Uncompressed, single-band, chunky planar —
-the smoke-level sink that proves the engine's block layout
-(operators/cog.py) drives a byte-exact raster file; compression and
-multi-band interleave stay behind the marked seam below.
+row-major tile order.  Single-band, chunky planar, uncompressed or
+per-tile DEFLATE (Adobe compression 8, zlib streams — stdlib) — the
+sink that proves the engine's block layout (operators/cog.py) drives
+a byte-exact raster file; JPEG/LZW tiles and multi-band interleave
+stay behind the marked seam below.
 
 ``read_gtiff`` is the test oracle's independent half: it follows the
 spec's tag semantics (not this writer's internals) to reconstruct
@@ -77,11 +78,10 @@ def write_gtiff(
     ``gt`` is the GDAL geotransform; north-up only (rotation terms
     must be 0) since GeoTIFF's PixelScale+Tiepoint encoding cannot
     express rotation."""
-    if compression is not None:
+    if compression not in (None, "deflate"):
         raise NotImplementedError(
-            "compressed COG output is a marked seam (DEFLATE tile codec); "
-            "the layout below is compression-agnostic — each tile's "
-            "byte count is independent"
+            f"unsupported compression {compression!r}: DEFLATE (zlib) is "
+            "implemented; JPEG/LZW need external codecs"
         )
     if gt[2] != 0.0 or gt[4] != 0.0:
         raise ValueError("rotated geotransforms cannot be encoded in GeoTIFF")
@@ -92,6 +92,8 @@ def write_gtiff(
     fill = nodata if nodata is not None else 0
 
     # --- serialize tiles (row-major tile order) ---
+    import zlib
+
     payloads = []
     for ty in range(n_ty):
         for tx in range(n_tx):
@@ -100,7 +102,8 @@ def write_gtiff(
             if a is not None:
                 a = np.asarray(a, dtype=npdt)
                 full[: a.shape[0], : a.shape[1]] = a
-            payloads.append(full.tobytes())  # native little-endian
+            raw = full.tobytes()  # native little-endian
+            payloads.append(zlib.compress(raw, 6) if compression else raw)
     tile_bytes = [len(p) for p in payloads]
 
     # --- IFD layout (offsets computed before writing) ---
@@ -118,7 +121,8 @@ def write_gtiff(
         (TAG_WIDTH, _T_LONG, 1, [width]),
         (TAG_LENGTH, _T_LONG, 1, [height]),
         (TAG_BITS, _T_SHORT, 1, [bits]),
-        (TAG_COMPRESSION, _T_SHORT, 1, [1]),
+        # 1 = none, 8 = Adobe DEFLATE (zlib streams per tile)
+        (TAG_COMPRESSION, _T_SHORT, 1, [8 if compression else 1]),
         (TAG_PHOTOMETRIC, _T_SHORT, 1, [1]),
         (TAG_SAMPLES, _T_SHORT, 1, [1]),
         (TAG_PLANAR, _T_SHORT, 1, [1]),
@@ -225,8 +229,16 @@ def read_gtiff(path: str):
     }[(bits, fmt)]
     n_tx = -(-width // tw)
     full = np.zeros((-(-height // th) * th, n_tx * tw), dtype=npdt)
+    comp = tags.get(TAG_COMPRESSION, [1])[0]
+    if comp not in (1, 8):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    import zlib
+
     for idx, (off, cnt_b) in enumerate(zip(tags[TAG_TILE_OFFSETS], tags[TAG_TILE_BYTES])):
-        tile = np.frombuffer(raw[off : off + cnt_b], dtype=npdt).reshape(th, tw)
+        buf = raw[off : off + cnt_b]
+        if comp == 8:
+            buf = zlib.decompress(buf)
+        tile = np.frombuffer(buf, dtype=npdt).reshape(th, tw)
         ty, tx = divmod(idx, n_tx)
         full[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = tile
     return full[:height, :width], tags

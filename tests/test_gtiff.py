@@ -58,10 +58,30 @@ def test_edge_tiles_padded_and_missing_tiles_filled(tmp_path):
     assert set(tags[gtiff.TAG_TILE_BYTES]) == {t * t * 4}
 
 
-def test_compression_is_a_marked_seam(tmp_path):
+def test_deflate_tiles_roundtrip_and_shrink(tmp_path):
+    """Compression 8 (Adobe DEFLATE): per-tile zlib streams — real,
+    not a seam (zlib is stdlib).  Pixels identical, file smaller on
+    compressible data, tag = 8, bytecounts vary per tile."""
+    rng = np.random.default_rng(9)
+    t = 128
+    tiles = {(0, 0): np.zeros((t, t), dtype=np.int16),          # highly compressible
+             (1, 0): rng.integers(-100, 100, (t, t), dtype=np.int16)}
+    pu = str(tmp_path / "u.tif"); pc = str(tmp_path / "c.tif")
+    gtiff.write_gtiff(pu, tiles, 256, 128, t, t, dtype="int16")
+    gtiff.write_gtiff(pc, tiles, 256, 128, t, t, dtype="int16", compression="deflate")
+    au, _ = gtiff.read_gtiff(pu)
+    ac, tags = gtiff.read_gtiff(pc)
+    assert np.array_equal(au, ac)
+    assert tags[gtiff.TAG_COMPRESSION] == [8]
+    assert len(set(tags[gtiff.TAG_TILE_BYTES])) == 2  # per-tile sizes differ
+    import os
+    assert os.path.getsize(pc) < os.path.getsize(pu)
+
+
+def test_unsupported_compression_and_rotation_raise(tmp_path):
     with pytest.raises(NotImplementedError):
-        gtiff.write_gtiff(str(tmp_path / "c.tif"), {}, 10, 10, 128, 128,
-                          compression="deflate")
+        gtiff.write_gtiff(str(tmp_path / "j.tif"), {}, 10, 10, 128, 128,
+                          compression="jpeg")
     with pytest.raises(ValueError):
         gtiff.write_gtiff(str(tmp_path / "d.tif"), {}, 10, 10, 128, 128,
                           gt=(0, 1, 0.5, 0, 0.5, -1))

@@ -116,9 +116,12 @@ def packing_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
         F.sum("n_docs_seq").alias("n_docs"),
         F.sum(F.lit(1)).alias("n_seqs"),
         F.sum("has_oversize").alias("n_oversize"),
-        F.coalesce(
+        # guard the denominator explicitly: under ANSI mode (Spark 4
+        # default) 0/0 THROWS rather than yielding null, so the
+        # all-oversize case must never reach the division
+        F.when(
+            F.sum(F.when(F.col("has_oversize") == 0, 1).otherwise(0)) > 0,
             F.sum(F.when(F.col("has_oversize") == 0, F.col("seq_tokens")).otherwise(0))
             / (F.sum(F.when(F.col("has_oversize") == 0, 1).otherwise(0)) * max_tokens),
-            F.lit(0.0),  # all-oversize: 0/0 division yields null
-        ).alias("fill_rate"),
+        ).otherwise(F.lit(0.0)).alias("fill_rate"),
     )

@@ -305,3 +305,43 @@ def test_compact_rejects_zero_retries(spark, tmp_path):
     cat.write(spark.range(3), "t")
     with pytest.raises(ValueError):
         cat.compact("t", spark, max_retries=0)
+
+
+def test_decimal_stats_round_outward_never_misprune(spark, tmp_path):
+    """Advisor r3 (medium): float(Decimal) rounds half-even, which can
+    SHRINK a stored max (or inflate a min) and let scan()'s interval
+    test prune a file that contains matching rows.  _stat_value must
+    round min down / max up so the stored range is a superset."""
+    import decimal
+    import math
+
+    from earth_data_kit_spark.sources.catalog import _stat_value
+
+    # a decimal that float() rounds DOWN (value > nearest float below)
+    cases = [decimal.Decimal("0.1"), decimal.Decimal("123456789.123456789"),
+             decimal.Decimal("-0.3"), decimal.Decimal("1e20") + decimal.Decimal("1")]
+    for d in cases:
+        lo = _stat_value(d, direction=-1)
+        hi = _stat_value(d, direction=1)
+        assert decimal.Decimal(lo) <= d, (d, lo)
+        assert decimal.Decimal(hi) >= d, (d, hi)
+        assert math.isfinite(lo) and math.isfinite(hi)
+    # non-decimal passthrough unaffected
+    assert _stat_value(5, direction=1) == 5
+    assert _stat_value("abc") == "abc"
+
+
+def test_decimal_column_scan_keeps_edge_file(spark, tmp_path):
+    """End to end: a file whose decimal max sits just above a float
+    boundary must be KEPT for a query range starting at the true max."""
+    from earth_data_kit_spark.sources.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    df = spark.createDataFrame(
+        [(1, "9.000000000000000000001"), (2, "4.5")],
+        "id bigint, v string",
+    ).selectExpr("id", "cast(v as decimal(38, 21)) v")
+    cat.write(df, "t", stats_cols=["v"])
+    # query exactly at the stored max: outward rounding must keep it
+    got = cat.scan(spark, "t", ranges={"v": (9.0, 99.0)}).collect()
+    assert any(r.id == 1 for r in got)

@@ -106,3 +106,17 @@ def test_ffd_pack_properties_hypothesis():
         assert ffd_pack(items, max_tokens) == out
 
     _check()
+
+
+def test_fill_rate_zero_when_all_sequences_oversize(spark):
+    """Advisor r3 (low): fill_rate was 0/0 -> null when every sequence
+    is oversize; must coalesce to 0.0 and document the exclusion."""
+    from earth_data_kit_spark.operators.packing import pack_sequences, packing_stats
+
+    docs = spark.createDataFrame(
+        [(1, "w " * 900), (2, "w " * 1200)], "doc_id bigint, text string"
+    )
+    packed = pack_sequences(docs, max_tokens=64, shards=2)
+    st = packing_stats(packed, 64).collect()[0]
+    assert st.n_oversize == st.n_seqs > 0
+    assert st.fill_rate == 0.0

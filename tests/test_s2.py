@@ -402,3 +402,70 @@ class TestPipJoinS2:
             )
             want = s2.to_spark_i64(s2.parent(LEAF[:1000], level))
             assert (np.sort(got) == np.sort(want)).all()
+
+
+def test_wrap_cell_bounds_clamped_to_full_lng_range():
+    """Advisor r3 (medium): a cell straddling the antimeridian used to
+    report a naive min/max lng box missing up to 25 deg of longitude,
+    breaking the covering-superset guarantee.  Wrap cells must clamp
+    to the full [-180, 180] range; ordinary cells must not."""
+    import numpy as np
+
+    from earth_data_kit_spark.grid import s2 as S
+
+    # The antimeridian is a cell GRIDLINE at every level (it bisects
+    # the face centered on lng 180 through s=0.5), so ordinary cells
+    # never cross it — the genuine wrap cases are polar-cap and
+    # near-pole cells whose true lng span approaches 360 deg while 9
+    # samples caught as little as 154 deg (25 deg of missed longitude
+    # at level 4 pre-fix).  The property under regression is
+    # CONSERVATIVENESS: the 9-sample box must contain the
+    # densely-sampled boundary box for every cell, polar included.
+    def dense_bounds(cids, m=257):
+        cids = np.asarray(cids, dtype=np.uint64)
+        face, i, j, level = S.cell_to_face_ij(cids)
+        n = (np.int64(1) << level).astype(np.float64)
+        t = np.linspace(0, 1, m)
+        fi = np.concatenate([t, np.ones(m), t[::-1], np.zeros(m)])
+        fj = np.concatenate([np.zeros(m), t, np.ones(m), t[::-1]])
+        M = fi.size
+        ss = (i[:, None] + fi[None, :]) / n[:, None]
+        ts = (j[:, None] + fj[None, :]) / n[:, None]
+        facer = np.repeat(face.astype(np.uint64), M)
+        x, y, z = S.face_uv_to_xyz(facer, S.st_to_uv(ss.ravel()), S.st_to_uv(ts.ravel()))
+        lat, lng = S.xyz_to_latlng(x, y, z)
+        lat = lat.reshape(-1, M)
+        lng = lng.reshape(-1, M)
+        return lat.min(1), lat.max(1), lng.min(1), lng.max(1)
+
+    rng = np.random.default_rng(7)
+    for lvl in (3, 4, 6, 8):
+        lats = np.concatenate([rng.uniform(-90, 90, 200), rng.uniform(85, 90, 50),
+                               rng.uniform(-90, -85, 50)])
+        lngs = rng.uniform(-180, 180, 300)
+        cells = np.unique(S.cell_from_latlng(lats, lngs, lvl))
+        a0, a1, o0, o1 = S.cell_latlng_bounds_batch(cells)
+        d0, d1, e0, e1 = dense_bounds(cells)
+        tol = 1e-6
+        assert np.all(a0 <= d0 + tol) and np.all(a1 >= d1 - tol), lvl
+        full = (o1 - o0) >= 359.9  # clamped cells are trivially conservative
+        ok = full | ((o0 <= e0 + tol) & (o1 >= e1 - tol))
+        assert np.all(ok), (lvl, cells[~ok][:5])
+        # a benign mid-ocean cell keeps a tight box
+        normal = S.cell_from_latlng(np.array([10.0]), np.array([30.0]), lvl)
+        _, _, n0, n1 = S.cell_latlng_bounds_batch(normal)
+        assert n1[0] - n0[0] < 180.0
+
+
+def test_covering_bbox_near_antimeridian_keeps_straddling_cells():
+    """A query box touching lng=180 must keep the cells that straddle
+    the line (conservative superset; the exact refine restores
+    precision)."""
+    import numpy as np
+
+    from earth_data_kit_spark.grid import s2 as S
+
+    lvl = 7
+    cover = S.covering_bbox(9.0, 11.0, 178.5, 180.0, lvl)
+    straddler = int(S.cell_from_latlng(np.array([10.0]), np.array([179.9999]), lvl)[0])
+    assert straddler in cover

@@ -111,3 +111,41 @@ def test_block_misalignment_raises(spark, tmp_path):
                              nodata_stripe=False)
     with pytest.raises(ValueError):
         gtiff.export_cog(blocks, str(tmp_path / "x.tif"), 256, 256, tile=100)
+
+
+def test_gtiff_roundtrip_property():
+    """Property test: random dims / tile sizes / dtypes / compression
+    → byte-exact pixel roundtrip through the independent reader."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 300),
+        h=st.integers(1, 300),
+        t=st.sampled_from([16, 128]),
+        dtype=st.sampled_from(["int16", "uint16", "int32", "float32"]),
+        comp=st.sampled_from([None, "deflate"]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, t, dtype, comp, seed):
+        import tempfile
+
+        rng = np.random.default_rng(seed)
+        npdt = {"int16": np.int16, "uint16": np.uint16,
+                "int32": np.int32, "float32": np.float32}[dtype]
+        if dtype == "float32":
+            full = rng.normal(size=(h, w)).astype(np.float32)
+        else:
+            info = np.iinfo(npdt)
+            full = rng.integers(info.min, info.max, (h, w), dtype=npdt)
+        tiles = {}
+        for ty in range(-(-h // t)):
+            for tx in range(-(-w // t)):
+                tiles[(tx, ty)] = full[ty * t : (ty + 1) * t, tx * t : (tx + 1) * t]
+        with tempfile.NamedTemporaryFile(suffix=".tif") as f:
+            gtiff.write_gtiff(f.name, tiles, w, h, t, t, dtype=dtype, compression=comp)
+            arr, tags = gtiff.read_gtiff(f.name)
+        assert arr.dtype == npdt and np.array_equal(arr, full)
+        assert tags[gtiff.TAG_COMPRESSION] == [8 if comp else 1]
+
+    check()

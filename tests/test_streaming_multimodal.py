@@ -459,3 +459,30 @@ def test_jpeg_stays_a_marked_seam():
 
     with _pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+
+
+def test_png_roundtrip_property():
+    """Property test: random image shapes / color types / filter
+    schedules encode forward per the spec and must decode exactly."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from earth_data_kit_spark.operators.multimodal import decode_png
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        ctype=st.sampled_from([0, 2, 6]),
+        filters=st.lists(st.integers(0, 4), min_size=1, max_size=5),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, ctype, filters, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if ctype == 0 else (h, w, {2: 3, 6: 4}[ctype])
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        got = decode_png(_make_png(img, ctype, filters))
+        exp = np.repeat(img[..., None], 3, axis=2) if ctype == 0 else img[..., :3]
+        assert np.array_equal(got, exp)
+
+    check()

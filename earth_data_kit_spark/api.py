@@ -204,3 +204,51 @@ class Dataset:
             width, height, n_bands, chunk_x, chunk_y, x_first, x_last, y_first, y_last
         )
         return t, cog.cog_block_layout(spark, width, height, n_bands, chunk_x, chunk_y)
+
+
+    def to_labeled_dataarray(
+        self,
+        blocks: DataFrame,
+        times,
+        bands: list[str],
+        gt: tuple,
+        x_size: int,
+        y_size: int,
+    ):
+        """Reference xarray surface (entrypoint.py:240-307 coords +
+        xarray .sel/.isel): labeled coordinates from the geotransform,
+        nearest-label selection, inclusive label slices — natively,
+        no xarray dependency (xr_adapter.py registers the real
+        BackendEntrypoint where xarray exists)."""
+        from earth_data_kit_spark.operators.dataarray import EDKLabeledArray
+
+        return EDKLabeledArray.from_geotransform(
+            blocks, times=times, bands=bands, gt=gt, x_size=x_size, y_size=y_size
+        )
+
+    def export_cog(
+        self,
+        blocks: DataFrame,
+        path: str,
+        width: int,
+        height: int,
+        tile: int = 256,
+        gt: tuple = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+        compression: str | None = None,
+    ) -> dict:
+        """Physical COG write (reference edk_accessor.py:131-183 via
+        GDAL; here the spec-built tiled GeoTIFF sink, optionally
+        per-tile DEFLATE).  Single-writer fan-in per output file."""
+        from earth_data_kit_spark.operators.gtiff import export_cog as _export
+
+        return _export(
+            blocks, path, width, height, tile=tile, gt=gt, compression=compression
+        )
+
+    def plot(self, labeled_array, to_html_path: str | None = None, **kw):
+        """Reference ``da.edk.plot()`` / folium overlay analog: one
+        pruned window read → PNG bytes (and optionally a
+        self-contained Leaflet overlay page)."""
+        from earth_data_kit_spark import plot as _plot
+
+        return _plot.plot(labeled_array, to_html_path=to_html_path, **kw)

@@ -246,7 +246,8 @@ def read_gtiff(path: str):
 
 def export_cog(blocks, path: str, width: int, height: int, tile: int = 256,
                gt: tuple = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
-               nodata: float | None = None) -> dict:
+               nodata: float | None = None,
+               compression: str | None = None) -> dict:
     """Blocks table (the standard block schema, operators/blocks.py)
     → physical COG file.  Stored payload values are written VERBATIM
     (a COG export preserves the on-disk dtype/nodata and stamps the
@@ -278,5 +279,6 @@ def export_cog(blocks, path: str, width: int, height: int, tile: int = 256,
         )
         tiles[(r["xoff"] // tile, r["yoff"] // tile)] = a
     return write_gtiff(
-        path, tiles, width, height, tile, tile, dtype=dtype, gt=gt, nodata=nodata
+        path, tiles, width, height, tile, tile, dtype=dtype, gt=gt, nodata=nodata,
+        compression=compression,
     )

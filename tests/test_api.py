@@ -118,3 +118,36 @@ def test_dataset_to_dataarray_facade(spark):
     assert out.shape == (2, 2)
     assert out[0, 0] == float((3 * 31 + 7 * 17) % 30000)
     assert arr[0:1, 0:1, 3, 7].shape == (1, 1, 1, 1)
+
+
+def test_facade_labeled_array_export_cog_and_plot(spark, tmp_path):
+    """Round-4 façade verbs: labeled selection, physical COG write
+    (incl. deflate pass-through), and the plot surface — all through
+    Dataset, the user-facing boundary."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from earth_data_kit_spark.api import Dataset
+    from earth_data_kit_spark.operators.blocks import synth_blocks_df
+    from earth_data_kit_spark.operators import gtiff
+
+    ds = Dataset("t", "s3://b/{x}")
+    blocks = synth_blocks_df(spark, 128, 128, 64, band="B1", scale=1.0,
+                             nodata_stripe=False)
+    la = ds.to_labeled_dataarray(
+        blocks.withColumn("t", F.lit(0)),
+        times=np.array(["2020-01-01"], dtype="datetime64[ns]"),
+        bands=["B1"], gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0), x_size=128, y_size=128,
+    )
+    pt = la.sel(x=5.0, y=2.0)
+    assert float(pt) == float((5 * 31 + 2 * 17) % 30000)
+
+    p = str(tmp_path / "o.tif")
+    ds.export_cog(blocks, p, 128, 128, tile=64, compression="deflate")
+    arr, tags = gtiff.read_gtiff(p)
+    assert tags[gtiff.TAG_COMPRESSION] == [8]  # deflate reached the sink
+    assert arr[2, 5] == (5 * 31 + 2 * 17) % 30000
+
+    png = ds.plot(la, to_html_path=str(tmp_path / "m.html"))
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert "imageOverlay" in open(tmp_path / "m.html").read()

@@ -176,7 +176,13 @@ def main() -> None:
         token_count_udf(F.col("id").cast("string"))
     ).count()
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # default best-of-3: the sandbox VM's delivered CPU can collapse
+    # for ~a minute at a time (observed: pip_join 28.4 s in one
+    # orchestrated window vs 2.98 s re-run isolated minutes later —
+    # BOTH best-of-2 runs landed inside the bad window).  A third run
+    # stretches the sampling window past most steal events for ~30%
+    # more child wall.  scaling_run.sh still pins its own RUNS.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # Per-query floor on run count: extract_geocode's wall is short
     # (~2.6 s at 8 cores) while its FIRST run carries ~3 s of fixed
     # cost (query planning, python-worker attach, page-cache fill of

@@ -73,3 +73,74 @@ def deterministic_split(
             else expr.when(cond, F.lit(name))
         )
     return df.withColumn("split", F.coalesce(expr, F.lit(last)))
+
+
+def temperature_mixture(counts: dict, total_rows: int, alpha: float = 0.5) -> dict:
+    """Temperature-scaled mixture weights over sources — the public
+    multilingual-LM mixing rule (p_s ∝ n_s^α, α<1 upweights small
+    sources; XLM-R / mT5 methodology).  Given per-source row counts
+    and a target budget, returns per-source
+    {target, keep_frac, n_repeats}:
+
+    * ``keep_frac`` ≤ 1 — the without-replacement sampling fraction;
+    * ``n_repeats`` ≥ 1 — the whole-epoch repeat factor when the
+      target EXCEEDS the source (upsampling a small source means
+      seeing it multiple times; the fractional remainder is drawn by
+      keep_frac on the final repeat).
+    """
+    if not counts or total_rows <= 0:
+        return {}
+    w = {s: float(n) ** alpha for s, n in counts.items()}
+    z = sum(w.values())
+    out = {}
+    for s, n in counts.items():
+        target = total_rows * w[s] / z
+        n_rep = max(1, -(-int(target) // max(n, 1)))  # ceil(target / n)
+        out[s] = {
+            "target": target,
+            "n_repeats": n_rep,
+            # fraction drawn from the LAST repeat (full repeats keep 1.0)
+            "keep_frac": min(1.0, (target - (n_rep - 1) * n) / n),
+        }
+    return out
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    total_rows: int,
+    alpha: float = 0.5,
+    salt: str = "",
+    counts: dict | None = None,
+) -> tuple[DataFrame, dict]:
+    """Realize a temperature-α mixture deterministically: each row is
+    kept when its md5-uniform u(key) falls below its source's
+    keep_frac — content-derived, so the identical sample is drawn on
+    any engine, at any cluster size, under any retry.  Downsampling
+    only (n_repeats > 1 sources pass whole and report the repeat
+    factor for the training loader; realizing repeats here would
+    duplicate storage).  One tiny counts aggregation + one broadcast
+    join + one map-side filter — no corpus shuffle.
+
+    Returns (sampled df + ``mix_keep_frac``/``mix_n_repeats`` cols,
+    the mixture table)."""
+    if counts is None:
+        counts = {
+            r[source_col]: r["n"]
+            for r in df.groupBy(source_col).agg(F.count("*").alias("n")).collect()
+        }
+    mix = temperature_mixture(counts, total_rows, alpha)
+    spark = df.sparkSession
+    mix_df = spark.createDataFrame(
+        [(s, m["keep_frac"], m["n_repeats"]) for s, m in mix.items()],
+        f"{source_col} string, mix_keep_frac double, mix_n_repeats int",
+    )
+    u = F.conv(
+        F.substring(hash_rank_col(F.col(key_col), salt), 1, 6), 16, 10
+    ).cast("double") / float(0xFFFFFF + 1)
+    out = (
+        df.join(F.broadcast(mix_df), source_col)
+        .where((F.col("mix_n_repeats") > 1) | (u < F.col("mix_keep_frac")))
+    )
+    return out, mix

@@ -44,3 +44,54 @@ def test_split_proportions_and_append_stability(spark, docs):
     assert all(after[d] == s for d, s in before.items())
     with pytest.raises(ValueError, match="sum to 1"):
         sampling.deterministic_split(docs, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_temperature_mixture_math():
+    """Closed-form: α=1 → proportional; α=0 → uniform targets; small
+    sources upweighted at α=0.5; repeat factors for over-budget."""
+    from earth_data_kit_spark.operators.sampling import temperature_mixture
+
+    counts = {"big": 9000, "small": 1000}
+    m1 = temperature_mixture(counts, 1000, alpha=1.0)
+    assert abs(m1["big"]["target"] - 900) < 1e-9
+    assert abs(m1["small"]["target"] - 100) < 1e-9
+    m0 = temperature_mixture(counts, 1000, alpha=0.0)
+    assert abs(m0["big"]["target"] - 500) < 1e-9 and abs(m0["small"]["target"] - 500) < 1e-9
+    mh = temperature_mixture(counts, 1000, alpha=0.5)
+    assert 100 < mh["small"]["target"] < 500  # between proportional and uniform
+    # upsampling: target beyond the source size → repeats
+    mu = temperature_mixture({"tiny": 100, "big": 10000}, 5000, alpha=0.0)
+    assert mu["tiny"]["n_repeats"] == 25 and abs(mu["tiny"]["keep_frac"] - 1.0) < 1e-9
+    assert temperature_mixture({}, 100) == {}
+
+
+def test_mixture_sample_deterministic_and_python_oracle(spark):
+    """The kept id set must equal a pure-python md5 replay (engine
+    independence) and be identical across invocations."""
+    import hashlib
+
+    from earth_data_kit_spark.operators.sampling import (
+        mixture_sample,
+        temperature_mixture,
+    )
+
+    rows = [(i, "big" if i % 10 else "small") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out, mix = mixture_sample(df, "source", "doc_id", total_rows=600, alpha=0.5, salt="s1")
+    got = {r.doc_id for r in out.collect()}
+    out2, _ = mixture_sample(df, "source", "doc_id", total_rows=600, alpha=0.5, salt="s1")
+    assert got == {r.doc_id for r in out2.collect()}
+
+    counts = {"big": 1800, "small": 200}
+    pm = temperature_mixture(counts, 600, alpha=0.5)
+    exp = set()
+    for i, src in rows:
+        u = int(hashlib.md5(f"s1{i}".encode()).hexdigest()[:6], 16) / float(0xFFFFFF + 1)
+        if pm[src]["n_repeats"] > 1 or u < pm[src]["keep_frac"]:
+            exp.add(i)
+    assert got == exp
+    # realized proportions near targets (binomial noise)
+    n_small = sum(1 for i in got if i % 10 == 0)
+    assert abs(n_small - pm["small"]["target"]) < 60
+    n_big = len(got) - n_small
+    assert abs(n_big - pm["big"]["target"]) < 80

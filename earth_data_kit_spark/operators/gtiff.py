@@ -7,11 +7,12 @@ GeoTIFF 1.1 specifications: little-endian classic TIFF, ONE
 full-resolution IFD placed immediately after the 8-byte header (the
 cloud-optimized property: a reader learns the complete tile index
 from the first few KB), tag arrays next, then the tile payload in
-row-major tile order.  Single-band, chunky planar, uncompressed or
-per-tile DEFLATE (Adobe compression 8, zlib streams — stdlib) — the
-sink that proves the engine's block layout (operators/cog.py) drives
-a byte-exact raster file; JPEG/LZW tiles and multi-band interleave
-stay behind the marked seam below.
+row-major tile order.  Single- or multi-band (PlanarConfiguration=2,
+band-major tile planes — the reference's one-file-many-bands shape),
+uncompressed or per-tile DEFLATE (Adobe compression 8, zlib streams —
+stdlib) — the sink that proves the engine's block layout
+(operators/cog.py) drives a byte-exact raster file; only JPEG/LZW
+tiles stay behind the marked seam below.
 
 ``read_gtiff`` is the test oracle's independent half: it follows the
 spec's tag semantics (not this writer's internals) to reconstruct
@@ -67,10 +68,15 @@ def write_gtiff(
     epsg: int = 4326,
     nodata: float | None = None,
     compression: str | None = None,
+    n_bands: int = 1,
 ) -> dict:
-    """Write a tiled single-band GeoTIFF.  ``tiles[(tx, ty)]`` is the
-    (tile_h, tile_w) array for tile column tx / row ty — edge tiles
-    may be smaller and are padded to full tile size (TIFF tiles are
+    """Write a tiled GeoTIFF.  Single band: ``tiles[(tx, ty)]`` is
+    the (tile_h, tile_w) array for tile column tx / row ty.
+    Multi-band (``n_bands`` > 1, the reference's one-file-many-bands
+    shape, edk_accessor.py:114-120 WriteArray per band_idx):
+    ``tiles[(band, tx, ty)]`` with PlanarConfiguration=2 — tile data
+    ordered band-major per the TIFF 6.0 planar rule.  Edge tiles may
+    be smaller and are padded to full tile size (TIFF tiles are
     always full-size; the width/length tags clip them on read).
     Missing tiles are filled with ``nodata`` (or 0).  Returns the
     layout summary {n_tiles, ifd_offset, data_offset, bytes}.
@@ -88,22 +94,24 @@ def write_gtiff(
     bits, fmt, npdt = _DTYPES[dtype]
     n_tx = -(-width // tile_w)
     n_ty = -(-height // tile_h)
-    n_tiles = n_tx * n_ty
+    n_tiles = n_tx * n_ty * n_bands
     fill = nodata if nodata is not None else 0
 
-    # --- serialize tiles (row-major tile order) ---
+    # --- serialize tiles (band-major, then row-major tile order) ---
     import zlib
 
     payloads = []
-    for ty in range(n_ty):
-        for tx in range(n_tx):
-            a = tiles.get((tx, ty))
-            full = np.full((tile_h, tile_w), fill, dtype=npdt)
-            if a is not None:
-                a = np.asarray(a, dtype=npdt)
-                full[: a.shape[0], : a.shape[1]] = a
-            raw = full.tobytes()  # native little-endian
-            payloads.append(zlib.compress(raw, 6) if compression else raw)
+    for band in range(n_bands):
+        for ty in range(n_ty):
+            for tx in range(n_tx):
+                key = (tx, ty) if n_bands == 1 else (band, tx, ty)
+                a = tiles.get(key)
+                full = np.full((tile_h, tile_w), fill, dtype=npdt)
+                if a is not None:
+                    a = np.asarray(a, dtype=npdt)
+                    full[: a.shape[0], : a.shape[1]] = a
+                raw = full.tobytes()  # native little-endian
+                payloads.append(zlib.compress(raw, 6) if compression else raw)
     tile_bytes = [len(p) for p in payloads]
 
     # --- IFD layout (offsets computed before writing) ---
@@ -120,17 +128,19 @@ def write_gtiff(
     entries = [
         (TAG_WIDTH, _T_LONG, 1, [width]),
         (TAG_LENGTH, _T_LONG, 1, [height]),
-        (TAG_BITS, _T_SHORT, 1, [bits]),
+        (TAG_BITS, _T_SHORT, n_bands, [bits] * n_bands),
         # 1 = none, 8 = Adobe DEFLATE (zlib streams per tile)
         (TAG_COMPRESSION, _T_SHORT, 1, [8 if compression else 1]),
         (TAG_PHOTOMETRIC, _T_SHORT, 1, [1]),
-        (TAG_SAMPLES, _T_SHORT, 1, [1]),
-        (TAG_PLANAR, _T_SHORT, 1, [1]),
+        (TAG_SAMPLES, _T_SHORT, 1, [n_bands]),
+        # planar (separate band planes) for multi-band: tile data is
+        # band-major, which is exactly how per-band block tables land
+        (TAG_PLANAR, _T_SHORT, 1, [2 if n_bands > 1 else 1]),
         (TAG_TILE_W, _T_LONG, 1, [tile_w]),
         (TAG_TILE_H, _T_LONG, 1, [tile_h]),
         (TAG_TILE_OFFSETS, _T_LONG, n_tiles, None),   # patched below
         (TAG_TILE_BYTES, _T_LONG, n_tiles, tile_bytes),
-        (TAG_SAMPLE_FORMAT, _T_SHORT, 1, [fmt]),
+        (TAG_SAMPLE_FORMAT, _T_SHORT, n_bands, [fmt] * n_bands),
         (TAG_PIXEL_SCALE, _T_DOUBLE, 3, [gt[1], -gt[5], 0.0]),
         (TAG_TIEPOINT, _T_DOUBLE, 6, [0.0, 0.0, 0.0, gt[0], gt[3], 0.0]),
         (TAG_GEO_KEYS, _T_SHORT, len(geo_keys), geo_keys),
@@ -228,20 +238,29 @@ def read_gtiff(path: str):
         (32, 2): np.int32, (32, 3): np.float32, (64, 3): np.float64,
     }[(bits, fmt)]
     n_tx = -(-width // tw)
-    full = np.zeros((-(-height // th) * th, n_tx * tw), dtype=npdt)
+    n_ty = -(-height // th)
+    n_bands = tags.get(TAG_SAMPLES, [1])[0]
+    planar = tags.get(TAG_PLANAR, [1])[0]
+    if n_bands > 1 and planar != 2:
+        raise ValueError("multi-band reads support PlanarConfiguration=2 only")
     comp = tags.get(TAG_COMPRESSION, [1])[0]
     if comp not in (1, 8):
         raise ValueError(f"unsupported TIFF compression {comp}")
     import zlib
 
+    full = np.zeros((n_bands, n_ty * th, n_tx * tw), dtype=npdt)
+    per_band = n_tx * n_ty
     for idx, (off, cnt_b) in enumerate(zip(tags[TAG_TILE_OFFSETS], tags[TAG_TILE_BYTES])):
         buf = raw[off : off + cnt_b]
         if comp == 8:
             buf = zlib.decompress(buf)
         tile = np.frombuffer(buf, dtype=npdt).reshape(th, tw)
-        ty, tx = divmod(idx, n_tx)
-        full[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = tile
-    return full[:height, :width], tags
+        band, rem = divmod(idx, per_band)
+        ty, tx = divmod(rem, n_tx)
+        full[band, ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = tile
+    clipped = full[:, :height, :width]
+    # single band returns 2D for backward-compatible callers
+    return (clipped[0] if n_bands == 1 else clipped), tags
 
 
 def export_cog(blocks, path: str, width: int, height: int, tile: int = 256,
@@ -259,16 +278,22 @@ def export_cog(blocks, path: str, width: int, height: int, tile: int = 256,
     writer task).  Block grid must align with the COG tile grid
     (operators/cog.py layout guarantees it: block sizes are
     ×128-ceiled)."""
-    rows = blocks.select(
-        "xoff", "yoff", "xsize", "ysize", "dtype", "nodataval", "payload"
-    ).collect()
-    tiles = {}
+    cols = ["xoff", "yoff", "xsize", "ysize", "dtype", "nodataval", "payload"]
+    has_band = "band" in blocks.columns
+    if has_band:
+        cols.append("band")
+    rows = blocks.select(*cols).collect()
     dtypes = {r["dtype"] for r in rows}
     if len(dtypes) > 1:
         raise ValueError(f"mixed block dtypes {dtypes} in one COG export")
     dtype = dtypes.pop() if dtypes else "int16"
     if nodata is None and rows and rows[0]["nodataval"] is not None:
         nodata = float(rows[0]["nodataval"])
+    # band order: sorted distinct names → GTiff bands 1..N (the
+    # reference writes band_idx+1 per block, edk_accessor.py:114-120)
+    bands = sorted({r["band"] for r in rows}) if has_band else [None]
+    b_idx = {b: i for i, b in enumerate(bands)}
+    tiles = {}
     for r in rows:
         if r["xoff"] % tile or r["yoff"] % tile:
             raise ValueError(
@@ -277,8 +302,12 @@ def export_cog(blocks, path: str, width: int, height: int, tile: int = 256,
         a = np.frombuffer(r["payload"], dtype=_DTYPES[dtype][2]).reshape(
             int(r["ysize"]), int(r["xsize"])
         )
-        tiles[(r["xoff"] // tile, r["yoff"] // tile)] = a
-    return write_gtiff(
+        tx, ty = r["xoff"] // tile, r["yoff"] // tile
+        key = (tx, ty) if len(bands) == 1 else (b_idx[r["band"]], tx, ty)
+        tiles[key] = a
+    info = write_gtiff(
         path, tiles, width, height, tile, tile, dtype=dtype, gt=gt, nodata=nodata,
-        compression=compression,
+        compression=compression, n_bands=len(bands),
     )
+    info["bands"] = bands if has_band else []
+    return info

@@ -350,3 +350,80 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", cosine_col(F.col("va"), F.col("vb")).alias("cosine"))
         .where(F.col("cosine") >= sim_threshold)
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = 2,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Cross-document PARAGRAPH dedup — the CCNet-style boilerplate
+    scrub (Wenzek et al. 2020, arXiv:1911.00359 §3.1 deduplicates at
+    paragraph granularity; distinct from the per-doc repetition
+    signals and from whole-document dedup): a paragraph appearing in
+    MORE than ``max_doc_freq`` documents is boilerplate (cookie
+    banners, navigation, footers) and is removed from every document;
+    the surviving paragraphs are rejoined in their original order.
+
+    Scale shape: posexplode (map-side) → one shuffle aggregating
+    paragraph-hash document frequencies (md5 keys — uniform, no
+    skew) → the over-threshold set is SMALL (only boilerplate
+    crosses the threshold; the long tail of unique paragraphs never
+    leaves the aggregation) → broadcast anti-join → groupBy doc
+    reconstruct via sort_array over (pos, paragraph) structs.  Two
+    shuffles total, both on uniform keys; nothing is all-pairs.
+
+    Returns (id, text, n_paragraphs, n_removed) — text rebuilt with
+    '\\n\\n' separators, whitespace-only paragraphs dropped (they
+    carry no content and would dominate any frequency count).
+    """
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), r"\n\n")).alias("pos", "para"),
+        )
+        .withColumn("para", F.trim(F.col("para")))
+        .where(F.length("para") >= min_chars)
+        .withColumn("ph", F.md5(F.col("para")))
+    )
+    # document frequency per distinct paragraph; only boilerplate
+    # (df > max_doc_freq) survives the filter — a tiny table
+    common = (
+        paras.groupBy("ph")
+        .agg(F.countDistinct(id_col).alias("doc_freq"))
+        .where(F.col("doc_freq") > max_doc_freq)
+        .select("ph")
+    )
+    kept = paras.join(F.broadcast(common), "ph", "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("pos"), F.col("para")))
+                    ),
+                    lambda s: s["para"],
+                ),
+                "\n\n",
+            ).alias(text_col),
+            F.count("*").alias("n_paragraphs"),
+        )
+    )
+    totals = paras.groupBy(id_col).agg(F.count("*").alias("_n_total"))
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .join(totals, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_paragraphs"), F.lit(0)).alias("n_paragraphs"),
+            (
+                F.coalesce(F.col("_n_total"), F.lit(0))
+                - F.coalesce(F.col("n_paragraphs"), F.lit(0))
+            ).alias("n_removed"),
+        )
+    )

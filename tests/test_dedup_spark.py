@@ -186,3 +186,56 @@ def test_dup_clusters_nonconverged_raises_not_partial(spark):
     # and with enough rounds the same chain converges to min-id 0
     ok = {r.id: r.cluster for r in dedup.dup_clusters(chain, max_iter=20).collect()}
     assert set(ok.values()) == {0}
+
+
+def test_paragraph_dedup_removes_boilerplate_python_oracle(spark):
+    """CCNet-style cross-doc paragraph scrub vs a pure-python oracle:
+    paragraphs in > max_doc_freq docs vanish everywhere, order is
+    preserved, per-doc counts are exact."""
+    from collections import Counter
+
+    from earth_data_kit_spark.operators.dedup import paragraph_dedup
+
+    boiler = "Accept our cookies to continue"
+    nav = "Home | About | Contact"
+    docs = [
+        (1, f"{boiler}\n\nUnique content one\n\n{nav}"),
+        (2, f"{boiler}\n\nAnother unique paragraph\n\n{nav}\n\nTail two"),
+        (3, f"{boiler}\n\nThird body\n\n{nav}"),
+        (4, "Entirely unique document\n\nWith two paragraphs"),
+        (5, f"{boiler}"),                # becomes empty
+        (6, "Shared twice\n\nBody six"),
+        (7, "Shared twice\n\nBody seven"),  # df=2 == max_doc_freq → kept
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in paragraph_dedup(df, max_doc_freq=2).collect()}
+
+    # python oracle
+    split = {i: [p.strip() for p in t.split("\n\n") if p.strip()] for i, t in docs}
+    freq = Counter()
+    for ps in split.values():
+        for p in set(ps):
+            freq[p] += 1
+    exp = {
+        i: [p for p in ps if freq[p] <= 2] for i, ps in split.items()
+    }
+    for i, ps in exp.items():
+        assert out[i].text == "\n\n".join(ps), i
+        assert out[i].n_paragraphs == len(ps)
+        assert out[i].n_removed == len(split[i]) - len(ps)
+    assert out[5].text == "" and out[5].n_removed == 1
+    assert "Shared twice" in out[6].text and "Shared twice" in out[7].text
+    assert len(out) == len(docs)  # every input doc has an output row
+
+
+def test_paragraph_dedup_plan_is_broadcast_and_jvm(spark):
+    from earth_data_kit_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = paragraph_dedup(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    for node in ("ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan
+    # sanity: runs, row-preserving
+    assert out.count() == docs.count()

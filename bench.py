@@ -63,6 +63,7 @@ QUERY_ORDER = [
     "stream_dedup_exact",
     "stream_dedup_jvm",
     "txt_curation",
+    "txt_paragraph_dedup",
 ]
 
 
@@ -577,6 +578,41 @@ def main() -> None:
     if "txt_curation" in timings:
         n_cur = spark.read.parquet(f"{SF_DIR}/documents.parquet").count() * 64
         extras["curation_docs_per_sec"] = round(n_cur / timings["txt_curation"], 1)
+
+    # q15: cross-doc paragraph dedup (CCNet-style boilerplate scrub) —
+    # hash doc-frequency agg (the only shuffle, (md5,id) pairs) +
+    # map-only rebuild.  A planted footer on every ×16-replicated doc
+    # makes the boilerplate set non-empty, so the rebuild's hash-set
+    # filter actually executes (a degenerate threshold would skip it).
+    if need("txt_paragraph_dedup"):
+        from earth_data_kit_spark.operators.dedup import paragraph_dedup
+
+        def _para_dedup():
+            d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            big = reduce(
+                lambda a, b: a.union(b),
+                [
+                    d.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+                    for i in range(16)
+                ],
+            ).withColumn(
+                "text",
+                F.concat(F.col("text"), F.lit("\n\nSubscribe to our newsletter")),
+            )
+            out = (
+                paragraph_dedup(big, max_doc_freq=20)
+                .agg(F.sum("n_removed").alias("r"), F.count("*").alias("n"))
+                .collect()
+            )
+            assert out[0]["r"] >= out[0]["n"], "planted footer not scrubbed"
+            return out
+
+        timed("txt_paragraph_dedup", _para_dedup)
+        if "txt_paragraph_dedup" in timings:
+            n_pd = spark.read.parquet(f"{SF_DIR}/documents.parquet").count() * 16
+            extras["paragraph_dedup_docs_per_sec"] = round(
+                n_pd / timings["txt_paragraph_dedup"], 1
+            )
 
     total = round(sum(timings.values()), 3)
     result = {

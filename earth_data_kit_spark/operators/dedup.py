@@ -358,72 +358,77 @@ def paragraph_dedup(
     text_col: str = "text",
     max_doc_freq: int = 2,
     min_chars: int = 1,
+    max_boilerplate: int = 100_000,
 ) -> DataFrame:
     """Cross-document PARAGRAPH dedup — the CCNet-style boilerplate
-    scrub (Wenzek et al. 2020, arXiv:1911.00359 §3.1 deduplicates at
-    paragraph granularity; distinct from the per-doc repetition
+    scrub (Wenzek et al. 2020, arXiv:1911.00359 par. 3.1 deduplicates
+    at paragraph granularity; distinct from the per-doc repetition
     signals and from whole-document dedup): a paragraph appearing in
     MORE than ``max_doc_freq`` documents is boilerplate (cookie
     banners, navigation, footers) and is removed from every document;
     the surviving paragraphs are rejoined in their original order.
 
-    Scale shape: posexplode (map-side) → one shuffle aggregating
-    paragraph-hash document frequencies (md5 keys — uniform, no
-    skew) → the over-threshold set is SMALL (only boilerplate
-    crosses the threshold; the long tail of unique paragraphs never
-    leaves the aggregation) → broadcast anti-join → groupBy doc
-    reconstruct via sort_array over (pos, paragraph) structs.  Two
-    shuffles total, both on uniform keys; nothing is all-pairs.
+    Scale shape: ONE shuffle total — the paragraph-hash document-
+    frequency aggregation moves only (md5, id) pairs (never the
+    text; uniform keys, map-side combinable).  The over-threshold
+    set is SMALL by construction (only boilerplate crosses the
+    threshold; the long tail of unique paragraphs never leaves the
+    aggregation), so it collects to the driver and the rebuild is a
+    MAP-ONLY Column pass over the original rows: split -> trim-filter
+    -> drop hashes in the set -> array_join.  The first cut rebuilt
+    via posexplode + groupBy(id) + sort_array, which re-shuffled
+    every paragraph STRING — measured 13.6k docs/s at 32 cores; the
+    map-only rebuild avoids that movement entirely.
+    ``max_boilerplate`` guards the driver collect: if more distinct
+    paragraphs cross the threshold than fits a literal isin set, the
+    threshold is wrong for the corpus (raise, don't silently
+    degrade).
 
     Returns (id, text, n_paragraphs, n_removed) — text rebuilt with
-    '\\n\\n' separators, whitespace-only paragraphs dropped (they
+    blank-line separators, whitespace-only paragraphs dropped (they
     carry no content and would dominate any frequency count).
     """
+    split_paras = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n\n"), F.trim),
+        lambda p: F.length(p) >= min_chars,
+    )
     paras = (
-        df.select(
-            F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), r"\n\n")).alias("pos", "para"),
-        )
-        .withColumn("para", F.trim(F.col("para")))
-        .where(F.length("para") >= min_chars)
+        df.select(F.col(id_col), F.explode(split_paras).alias("para"))
         .withColumn("ph", F.md5(F.col("para")))
+        .select(id_col, "ph")
     )
     # document frequency per distinct paragraph; only boilerplate
-    # (df > max_doc_freq) survives the filter — a tiny table
-    common = (
-        paras.groupBy("ph")
-        .agg(F.countDistinct(id_col).alias("doc_freq"))
-        .where(F.col("doc_freq") > max_doc_freq)
-        .select("ph")
-    )
-    kept = paras.join(F.broadcast(common), "ph", "left_anti")
-    rebuilt = (
-        kept.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct(F.col("pos"), F.col("para")))
-                    ),
-                    lambda s: s["para"],
-                ),
-                "\n\n",
-            ).alias(text_col),
-            F.count("*").alias("n_paragraphs"),
+    # (doc_freq > max_doc_freq) survives the filter — a tiny list
+    common = [
+        r["ph"]
+        for r in (
+            paras.groupBy("ph")
+            .agg(F.countDistinct(id_col).alias("doc_freq"))
+            .where(F.col("doc_freq") > max_doc_freq)
+            .select("ph")
+            .collect()
         )
-    )
-    totals = paras.groupBy(id_col).agg(F.count("*").alias("_n_total"))
-    return (
-        df.select(id_col)
-        .join(rebuilt, id_col, "left")
-        .join(totals, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
-            F.coalesce(F.col("n_paragraphs"), F.lit(0)).alias("n_paragraphs"),
-            (
-                F.coalesce(F.col("_n_total"), F.lit(0))
-                - F.coalesce(F.col("n_paragraphs"), F.lit(0))
-            ).alias("n_removed"),
+    ]
+    if len(common) > max_boilerplate:
+        raise ValueError(
+            f"{len(common)} paragraphs exceed doc_freq {max_doc_freq} — "
+            f"threshold too low for this corpus (cap {max_boilerplate})"
         )
+
+    # map-only rebuild against the literal hash set (let-bound via a
+    # 1-element transform so the trimmed array is computed once)
+    def _rebuild(tl):
+        kept = F.filter(tl, lambda p: ~F.md5(p).isin(common)) if common else tl
+        return F.struct(
+            F.array_join(kept, "\n\n").alias("text"),
+            F.size(kept).cast("bigint").alias("n_kept"),
+            F.size(tl).cast("bigint").alias("n_total"),
+        )
+
+    r = F.transform(F.array(split_paras), _rebuild)[0]
+    return df.select(
+        F.col(id_col),
+        r["text"].alias(text_col),
+        r["n_kept"].alias("n_paragraphs"),
+        (r["n_total"] - r["n_kept"]).alias("n_removed"),
     )

@@ -210,7 +210,7 @@ def regrid_bilinear(
     sw, sh = src_size
     dw, dh = dst_size
 
-    def per_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def per_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         full = np.full((sh, sw), np.nan, dtype=np.float64)
         scale = pdf.iloc[0]["scale"]
         offset = pdf.iloc[0]["offset"]
@@ -356,7 +356,7 @@ def regrid_bilinear_blocks(
 
     np_dtype = np.float64 if out_dtype == "float64" else np.float32
 
-    def per_dst_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def per_dst_block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         band, bx, by = key
         x0_px, x1_px = bx * bpx, min(dw, bx * bpx + bpx) - 1
         y0_px, y1_px = by * bpx, min(dh, by * bpx + bpx) - 1

@@ -299,6 +299,15 @@ def export_cog(blocks, path: str, width: int, height: int, tile: int = 256,
             raise ValueError(
                 f"block ({r['xoff']},{r['yoff']}) not aligned to tile {tile}"
             )
+        if r["xsize"] > tile or r["ysize"] > tile:
+            # block sizes are ×128-ceiled and can exceed the COG tile;
+            # without this a multi-tile block reaches write_gtiff and
+            # dies in an opaque numpy broadcast error (ADVICE r4)
+            raise ValueError(
+                f"block ({r['xoff']},{r['yoff']}) size "
+                f"{r['xsize']}x{r['ysize']} exceeds COG tile {tile}; "
+                f"re-chunk blocks to <= tile or raise tile="
+            )
         a = np.frombuffer(r["payload"], dtype=_DTYPES[dtype][2]).reshape(
             int(r["ysize"]), int(r["xsize"])
         )

@@ -85,7 +85,7 @@ def pack_sequences(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)).alias("shard"),
     )
 
-    def _pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(key[0])
         assign = ffd_pack(
             list(zip(pdf["doc_id"].tolist(), pdf["n_tokens"].tolist())), max_tokens

@@ -14,6 +14,8 @@ serves as a stable shuffle/sort key for downstream splits.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -95,7 +97,11 @@ def temperature_mixture(counts: dict, total_rows: int, alpha: float = 0.5) -> di
     out = {}
     for s, n in counts.items():
         target = total_rows * w[s] / z
-        n_rep = max(1, -(-int(target) // max(n, 1)))  # ceil(target / n)
+        # ceil on the FLOAT target: int-truncating first undercounts
+        # n_repeats by 1 whenever target is fractionally above an
+        # exact multiple of n (e.g. target=200.3, n=100), and the
+        # keep_frac clamp then silently drops the remainder (ADVICE r4)
+        n_rep = max(1, math.ceil(target / max(n, 1)))
         out[s] = {
             "target": target,
             "n_repeats": n_rep,
@@ -139,8 +145,19 @@ def mixture_sample(
     u = F.conv(
         F.substring(hash_rank_col(F.col(key_col), salt), 1, 6), 16, 10
     ).cast("double") / float(0xFFFFFF + 1)
+    # LEFT join + executor-side assert: an externally supplied counts
+    # dict that omits a source present in df must FAIL LOUDLY, not
+    # silently drop the source's rows via the inner join (ADVICE r4).
+    # assert_true lives inside the filter so Catalyst cannot prune it.
+    guard = F.assert_true(
+        F.col("mix_keep_frac").isNotNull(),
+        F.concat(
+            F.lit("mixture_sample: source absent from counts: "),
+            F.col(source_col).cast("string"),
+        ),
+    )
     out = (
-        df.join(F.broadcast(mix_df), source_col)
-        .where((F.col("mix_n_repeats") > 1) | (u < F.col("mix_keep_frac")))
+        df.join(F.broadcast(mix_df), source_col, "left")
+        .where(guard.isNull() & ((F.col("mix_n_repeats") > 1) | (u < F.col("mix_keep_frac"))))
     )
     return out, mix

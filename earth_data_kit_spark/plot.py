@@ -136,7 +136,19 @@ def plot(
         arr = np.asarray(window).T  # render row-major (y, x)
         if hasattr(source, "x_coords"):
             ys, xs = source.y_coords, source.x_coords
-            bounds = (float(ys.min()), float(xs.min()), float(ys.max()), float(xs.max()))
+            # Leaflet ImageOverlay pins image row 0 to lat_max; with an
+            # ASCENDING y axis (positive-dy geotransform) row 0 is the
+            # southernmost row, so flip vertically (ADVICE r4).
+            if len(ys) > 1 and ys[1] > ys[0]:
+                arr = np.flipud(arr)
+            # coords are pixel CENTERS; overlay bounds are cell edges —
+            # pad by half a pixel step on each axis (ADVICE r4)
+            hy = abs(float(ys[1]) - float(ys[0])) / 2.0 if len(ys) > 1 else 0.0
+            hx = abs(float(xs[1]) - float(xs[0])) / 2.0 if len(xs) > 1 else 0.0
+            bounds = (
+                float(ys.min()) - hy, float(xs.min()) - hx,
+                float(ys.max()) + hy, float(xs.max()) + hx,
+            )
     else:
         arr = np.asarray(source, dtype=np.float64)
     png = render_png(arr, vmin, vmax)

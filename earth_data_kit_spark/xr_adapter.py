@@ -37,7 +37,22 @@ except ImportError:  # sandbox path: adapter dormant, facade still works
 
 from earth_data_kit_spark.operators.dataarray import EDKDataArray, EDKLabeledArray
 
-__all__ = ["HAS_XARRAY", "open_edk_spark_dataset"]
+__all__ = ["HAS_XARRAY", "blocks_extent", "open_edk_spark_dataset"]
+
+
+def blocks_extent(blocks):
+    """(x_size, y_size) of a blocks table in pixels — the max covered
+    extent per axis.  Uses the STANDARD block schema columns
+    ``xoff/yoff/xsize/ysize`` (operators/blocks.py:40); the r4 adapter
+    read ``x0``/``y0``, which no real blocks table has (ADVICE r4) —
+    this function is module-level precisely so the selection
+    expressions are unit-testable without xarray installed."""
+    import pyspark.sql.functions as F
+
+    xs, ys = blocks.select(
+        F.max(F.col("xoff") + F.col("xsize")), F.max(F.col("yoff") + F.col("ysize"))
+    ).first()
+    return int(xs), int(ys)
 
 
 if HAS_XARRAY:  # pragma: no cover - see above
@@ -99,11 +114,7 @@ if HAS_XARRAY:  # pragma: no cover - see above
             gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0),
         ):
             blocks = spark.read.parquet(filename_or_obj)
-            import pyspark.sql.functions as F
-
-            xs, ys = blocks.select(
-                F.max(F.col("x0") + F.col("xsize")), F.max(F.col("y0") + F.col("ysize"))
-            ).first()
+            xs, ys = blocks_extent(blocks)
             la = EDKLabeledArray.from_geotransform(
                 blocks, times=times, bands=bands, gt=gt, x_size=xs, y_size=ys
             )

@@ -196,3 +196,14 @@ def test_xr_adapter_dormant_without_xarray():
             xr_adapter.open_edk_spark_dataset("x")
     else:  # environment with xarray: the entrypoint class must exist
         assert hasattr(xr_adapter, "EDKSparkBackend")
+
+
+def test_blocks_extent_uses_standard_block_schema(spark):
+    """xr_adapter.blocks_extent must read xoff/yoff (the standard
+    block schema, operators/blocks.py) — the r4 adapter read x0/y0
+    which no real blocks table has (ADVICE r4)."""
+    from earth_data_kit_spark.operators.blocks import synth_blocks_df
+    from earth_data_kit_spark.xr_adapter import blocks_extent
+
+    blocks = synth_blocks_df(spark, 96, 64, 32, band="B1", scale=1.0)
+    assert blocks_extent(blocks) == (96, 64)

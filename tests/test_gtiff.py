@@ -193,3 +193,21 @@ def test_multiband_distinct_payloads_separate_planes(tmp_path):
     arr, _ = gtiff.read_gtiff(p)
     assert arr.shape == (2, t, t)
     assert np.all(arr[0] == 7) and np.all(arr[1] == 9)
+
+
+def test_export_cog_rejects_block_larger_than_tile(spark, tmp_path):
+    """A block spanning multiple COG tiles must fail with a clear
+    error, not an opaque numpy broadcast error (ADVICE r4)."""
+    import numpy as np
+    import pytest
+
+    from earth_data_kit_spark.operators.gtiff import export_cog
+
+    a = np.zeros((384, 384), dtype=np.int16)  # 384 = 3*128 > tile 256
+    blocks = spark.createDataFrame(
+        [(0, 0, 384, 384, "int16", None, a.tobytes())],
+        "xoff int, yoff int, xsize int, ysize int, dtype string, "
+        "nodataval double, payload binary",
+    )
+    with pytest.raises(ValueError, match="exceeds COG tile"):
+        export_cog(blocks, str(tmp_path / "big.tif"), 384, 384, tile=256)

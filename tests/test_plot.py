@@ -82,8 +82,35 @@ def test_plot_from_labeled_array_writes_overlay(spark, tmp_path):
     assert (w, h) == (64, 64)
     assert (rgba[..., 3] == 255).all()  # no nodata in this synth
     html = open(out).read()
-    # bounds from the coord arrays (y descending: min=43-63*0.05)
-    assert f"[[{43.0 - 63 * 0.05}, 19.0]" in html
+    # bounds are CELL EDGES: pixel-center min (43-63*0.05) padded by
+    # half a step on each axis (ADVICE r4 — ImageOverlay bounds are
+    # edges, coords are centers)
+    assert f"[[{43.0 - 63 * 0.05 - 0.025}, {19.0 - 0.025}]" in html
+
+
+def test_plot_ascending_y_flips_image(tmp_path):
+    """Positive-dy geotransform: row 0 of the source window is the
+    SOUTHERNMOST row, but Leaflet pins image top to lat_max — plot()
+    must flip vertically so north stays up (ADVICE r4)."""
+
+    class _FakeLabeled:
+        x_coords = np.array([10.0, 10.1, 10.2])
+        y_coords = np.array([50.0, 50.1])  # ascending (positive dy)
+
+        def isel(self, time, band):
+            # (x, y) axes: gradient along y so the flip is observable
+            return np.array([[0.0, 1.0]] * 3)
+
+    out = str(tmp_path / "asc.html")
+    png = plot.plot(_FakeLabeled(), to_html_path=out)
+    (w, h, _, _), rgba = parse_png(png)
+    assert (w, h) == (3, 2)
+    # after flipud row 0 (top) holds the HIGH-latitude (y=50.1) values
+    # = 1.0 → viridis yellow (red ~253) vs row 1's dark purple (~68)
+    assert rgba[0, 0, 0] > rgba[1, 0, 0]
+    html = open(out).read()
+    # half-pixel padded edges: lat [49.95, 50.15], lon [9.95, 10.25]
+    assert "[[49.95, 9.95], [50.15" in html
 
 
 def test_plot_plain_array_needs_no_spark():

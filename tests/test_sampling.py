@@ -95,3 +95,48 @@ def test_mixture_sample_deterministic_and_python_oracle(spark):
     assert abs(n_small - pm["small"]["target"]) < 60
     n_big = len(got) - n_small
     assert abs(n_big - pm["big"]["target"]) < 80
+
+
+def test_temperature_mixture_fractional_target_rounds_up():
+    """target fractionally above an exact multiple of n must bump
+    n_repeats (ADVICE r4: int-truncating target before the ceil lost
+    the fractional remainder and clamped keep_frac to 1.0)."""
+    from earth_data_kit_spark.operators.sampling import temperature_mixture
+
+    # single source, alpha irrelevant: target == total_rows exactly
+    m = temperature_mixture({"s": 100}, 201, alpha=1.0)["s"]
+    assert m["n_repeats"] == 3  # ceil(201/100), NOT ceil(int(201.0)/100)=3 trivially
+    # the regression shape: target = 200.3 via two sources
+    # w = n^1 → targets proportional to counts; craft target just over 2n
+    m = temperature_mixture({"a": 100, "b": 899}, 999 * 2 + 1, alpha=1.0)
+    ta = m["a"]["target"]
+    assert ta > 200.0 and ta < 201.0  # fractionally above 2*100
+    assert m["a"]["n_repeats"] == 3
+    assert 0.0 < m["a"]["keep_frac"] < 1.0
+    # consistency: realized expectation == target for every source
+    for s in m:
+        got = (m[s]["n_repeats"] - 1 + m[s]["keep_frac"]) * {"a": 100, "b": 899}[s]
+        assert abs(got - m[s]["target"]) < 1e-6
+
+
+def test_mixture_sample_missing_source_raises(spark):
+    """Externally supplied counts that omit a source present in df
+    must fail loudly, not silently drop the source (ADVICE r4)."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from earth_data_kit_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("ghost", 3)], "source string, doc_id bigint"
+    )
+    out, _ = mixture_sample(
+        df, "source", "doc_id", total_rows=2, counts={"a": 2}
+    )
+    with pytest.raises(Exception, match="absent from counts"):
+        out.collect()
+    # complete counts still work (and ghost source present in counts)
+    out2, _ = mixture_sample(
+        df, "source", "doc_id", total_rows=3, counts={"a": 2, "ghost": 1}
+    )
+    assert out2.count() >= 1

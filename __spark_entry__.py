@@ -423,6 +423,33 @@ def _q_geo_radius_join(spark, sf_dir):
     return out.select("query_id", "page_id", F.round("dist_m", 2).alias("dist_m"))
 
 
+def _q_geo_knn_table(spark, sf_dir):
+    """TABLE-to-table kNN (VERDICT r4 task 1): the query side is a
+    DataFrame derived from the pages table itself (every ~11th page),
+    rings generated in-plan (operators/knn.py query_cells), candidate
+    join shuffled on cell (broadcast_queries=False — the at-scale
+    shape for query tables too big to broadcast).  Oracle: DuckDB
+    brute-force kNN over the same derived query table."""
+    from earth_data_kit_spark.operators.knn import knn_join
+
+    pages = _pages(spark, sf_dir)
+    q = pages.where(F.col("page_id") % 11 == 3).select(
+        F.col("page_id").alias("query_id"),
+        F.col("lat").alias("qlat"),
+        F.col("lon").alias("qlon"),
+    )
+    out = knn_join(
+        pages, q, k=3, res=5, ring=2, id_col="page_id",
+        auto_grow=True, max_ring=64, broadcast_queries=False,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        "page_id",
+        F.round("dist_m", 2).alias("dist_m"),
+    )
+
+
 def _q_geo_tile_assign(spark, sf_dir):
     from earth_data_kit_spark.operators import assign
 
@@ -1318,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_pip_antimeridian": _q_geo_pip_antimeridian,
         "geo_pyramid": _q_geo_pyramid,
         "geo_knn": _q_geo_knn,
+        "geo_knn_table": _q_geo_knn_table,
         "geo_radius_join": _q_geo_radius_join,
         "geo_tile_assign": _q_geo_tile_assign,
         "geo_clip_window": _q_geo_clip_window,
@@ -1457,6 +1485,24 @@ q(query_id, qlat, qlon) AS (VALUES {knn_values})
 SELECT q.query_id, p.page_id, round({hav}, 2) AS dist_m
 FROM pages p CROSS JOIN q
 WHERE {hav} <= 300000.0
+""",
+        "geo_knn_table": f"""
+WITH pages AS ({pages}),
+q AS (
+  SELECT page_id AS query_id, lat AS qlat, lon AS qlon
+  FROM pages WHERE page_id % 11 = 3
+),
+d AS (
+  SELECT q.query_id, p.page_id, {hav} AS dist_m
+  FROM pages p CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, page_id, dist_m,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist_m ASC, page_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, page_id, round(dist_m, 2) AS dist_m
+FROM ranked WHERE rank <= 3
 """,
         "geo_tile_assign": f"""
 WITH {_MODIS_TILES_CTE},

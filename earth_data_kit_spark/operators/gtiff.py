@@ -27,6 +27,7 @@ import struct
 import numpy as np
 
 # TIFF tag ids (TIFF 6.0 §8) and GeoTIFF 1.1 geo tags
+TAG_SUBFILETYPE = 254  # NewSubfileType: bit 0 = reduced-resolution
 TAG_WIDTH = 256
 TAG_LENGTH = 257
 TAG_BITS = 258
@@ -69,6 +70,7 @@ def write_gtiff(
     nodata: float | None = None,
     compression: str | None = None,
     n_bands: int = 1,
+    overviews: list[dict] | None = None,
 ) -> dict:
     """Write a tiled GeoTIFF.  Single band: ``tiles[(tx, ty)]`` is
     the (tile_h, tile_w) array for tile column tx / row ty.
@@ -92,30 +94,37 @@ def write_gtiff(
     if gt[2] != 0.0 or gt[4] != 0.0:
         raise ValueError("rotated geotransforms cannot be encoded in GeoTIFF")
     bits, fmt, npdt = _DTYPES[dtype]
-    n_tx = -(-width // tile_w)
-    n_ty = -(-height // tile_h)
-    n_tiles = n_tx * n_ty * n_bands
     fill = nodata if nodata is not None else 0
 
-    # --- serialize tiles (band-major, then row-major tile order) ---
-    import zlib
+    # images[0] is the full-resolution raster; overview entries (if
+    # any) are reduced-resolution IFDs chained behind it via the
+    # next-IFD pointer, each flagged NewSubfileType=1 per TIFF 6.0 —
+    # the COG overview layout (all IFDs up front, tile data after).
+    images = [{"tiles": tiles, "width": width, "height": height}]
+    for ov in overviews or []:
+        images.append(ov)
 
-    payloads = []
-    for band in range(n_bands):
-        for ty in range(n_ty):
-            for tx in range(n_tx):
-                key = (tx, ty) if n_bands == 1 else (band, tx, ty)
-                a = tiles.get(key)
-                full = np.full((tile_h, tile_w), fill, dtype=npdt)
-                if a is not None:
-                    a = np.asarray(a, dtype=npdt)
-                    full[: a.shape[0], : a.shape[1]] = a
-                raw = full.tobytes()  # native little-endian
-                payloads.append(zlib.compress(raw, 6) if compression else raw)
-    tile_bytes = [len(p) for p in payloads]
+    def _payloads(img):
+        import zlib
 
-    # --- IFD layout (offsets computed before writing) ---
-    # entries sorted by tag id, as the spec requires
+        w, h, tl = img["width"], img["height"], img["tiles"]
+        n_tx = -(-w // tile_w)
+        n_ty = -(-h // tile_h)
+        out = []
+        # band-major, then row-major tile order
+        for band in range(n_bands):
+            for ty in range(n_ty):
+                for tx in range(n_tx):
+                    key = (tx, ty) if n_bands == 1 else (band, tx, ty)
+                    a = tl.get(key)
+                    full = np.full((tile_h, tile_w), fill, dtype=npdt)
+                    if a is not None:
+                        a = np.asarray(a, dtype=npdt)
+                        full[: a.shape[0], : a.shape[1]] = a
+                    raw = full.tobytes()  # native little-endian
+                    out.append(zlib.compress(raw, 6) if compression else raw)
+        return out
+
     nodata_ascii = (
         (repr(float(nodata)) if nodata is not None else "").encode() + b"\x00"
     )
@@ -125,48 +134,70 @@ def write_gtiff(
         1025, 0, 1, 1,       # GTRasterTypeGeoKey = PixelIsArea
         2048, 0, 1, epsg,    # GeographicTypeGeoKey
     ]
-    entries = [
-        (TAG_WIDTH, _T_LONG, 1, [width]),
-        (TAG_LENGTH, _T_LONG, 1, [height]),
-        (TAG_BITS, _T_SHORT, n_bands, [bits] * n_bands),
-        # 1 = none, 8 = Adobe DEFLATE (zlib streams per tile)
-        (TAG_COMPRESSION, _T_SHORT, 1, [8 if compression else 1]),
-        (TAG_PHOTOMETRIC, _T_SHORT, 1, [1]),
-        (TAG_SAMPLES, _T_SHORT, 1, [n_bands]),
-        # planar (separate band planes) for multi-band: tile data is
-        # band-major, which is exactly how per-band block tables land
-        (TAG_PLANAR, _T_SHORT, 1, [2 if n_bands > 1 else 1]),
-        (TAG_TILE_W, _T_LONG, 1, [tile_w]),
-        (TAG_TILE_H, _T_LONG, 1, [tile_h]),
-        (TAG_TILE_OFFSETS, _T_LONG, n_tiles, None),   # patched below
-        (TAG_TILE_BYTES, _T_LONG, n_tiles, tile_bytes),
-        (TAG_SAMPLE_FORMAT, _T_SHORT, n_bands, [fmt] * n_bands),
-        (TAG_PIXEL_SCALE, _T_DOUBLE, 3, [gt[1], -gt[5], 0.0]),
-        (TAG_TIEPOINT, _T_DOUBLE, 6, [0.0, 0.0, 0.0, gt[0], gt[3], 0.0]),
-        (TAG_GEO_KEYS, _T_SHORT, len(geo_keys), geo_keys),
-    ]
-    if nodata is not None:
-        entries.append((TAG_NODATA, _T_ASCII, len(nodata_ascii), nodata_ascii))
-    entries.sort(key=lambda e: e[0])
+
+    def _entries(img, n_tiles, tile_bytes, reduced):
+        # entries sorted by tag id, as the spec requires
+        es = [
+            (TAG_WIDTH, _T_LONG, 1, [img["width"]]),
+            (TAG_LENGTH, _T_LONG, 1, [img["height"]]),
+            (TAG_BITS, _T_SHORT, n_bands, [bits] * n_bands),
+            # 1 = none, 8 = Adobe DEFLATE (zlib streams per tile)
+            (TAG_COMPRESSION, _T_SHORT, 1, [8 if compression else 1]),
+            (TAG_PHOTOMETRIC, _T_SHORT, 1, [1]),
+            (TAG_SAMPLES, _T_SHORT, 1, [n_bands]),
+            # planar (separate band planes) for multi-band: tile data
+            # is band-major, exactly how per-band block tables land
+            (TAG_PLANAR, _T_SHORT, 1, [2 if n_bands > 1 else 1]),
+            (TAG_TILE_W, _T_LONG, 1, [tile_w]),
+            (TAG_TILE_H, _T_LONG, 1, [tile_h]),
+            (TAG_TILE_OFFSETS, _T_LONG, n_tiles, None),   # patched below
+            (TAG_TILE_BYTES, _T_LONG, n_tiles, tile_bytes),
+            (TAG_SAMPLE_FORMAT, _T_SHORT, n_bands, [fmt] * n_bands),
+        ]
+        if reduced:
+            es.append((TAG_SUBFILETYPE, _T_LONG, 1, [1]))
+        else:
+            # geo tags on the full-resolution IFD only (GDAL layout)
+            es += [
+                (TAG_PIXEL_SCALE, _T_DOUBLE, 3, [gt[1], -gt[5], 0.0]),
+                (TAG_TIEPOINT, _T_DOUBLE, 6, [0.0, 0.0, 0.0, gt[0], gt[3], 0.0]),
+                (TAG_GEO_KEYS, _T_SHORT, len(geo_keys), geo_keys),
+            ]
+            if nodata is not None:
+                es.append((TAG_NODATA, _T_ASCII, len(nodata_ascii), nodata_ascii))
+        es.sort(key=lambda e: e[0])
+        return es
 
     _SZ = {_T_SHORT: 2, _T_LONG: 4, _T_DOUBLE: 8, _T_ASCII: 1}
-    ifd_offset = 8
-    ifd_size = 2 + 12 * len(entries) + 4
-    # external value area: every entry whose payload exceeds 4 bytes
-    ext_offset = ifd_offset + ifd_size
-    ext_pos = {}
-    pos = ext_offset
-    for tag, typ, cnt, _ in entries:
-        sz = _SZ[typ] * cnt
-        if sz > 4:
-            ext_pos[tag] = pos
-            pos += sz + (sz & 1)  # word-align
+
+    # --- layout pass: IFD + external value area per image, in order,
+    # then all tile payloads (offsets computed before writing) ---
+    metas = []
+    pos = 8
+    for i, img in enumerate(images):
+        plds = _payloads(img)
+        tb = [len(p) for p in plds]
+        es = _entries(img, len(plds), tb, reduced=i > 0)
+        ifd_offset_i = pos
+        pos += 2 + 12 * len(es) + 4
+        ext_pos = {}
+        for tag, typ, cnt, _ in es:
+            sz = _SZ[typ] * cnt
+            if sz > 4:
+                ext_pos[tag] = pos
+                pos += sz + (sz & 1)  # word-align
+        metas.append(
+            {"entries": es, "payloads": plds, "ifd_offset": ifd_offset_i,
+             "ext_pos": ext_pos}
+        )
     data_offset = pos
-    offsets = []
     p = data_offset
-    for b in tile_bytes:
-        offsets.append(p)
-        p += b
+    for m in metas:
+        offs = []
+        for b in m["payloads"]:
+            offs.append(p)
+            p += len(b)
+        m["tile_offsets"] = offs
 
     def pack_values(typ, cnt, vals):
         if typ == _T_ASCII:
@@ -175,46 +206,73 @@ def write_gtiff(
         return struct.pack("<" + code * cnt, *vals)
 
     out = bytearray()
-    out += struct.pack("<2sHI", b"II", 42, ifd_offset)
-    # IFD
-    out += struct.pack("<H", len(entries))
-    for tag, typ, cnt, vals in entries:
-        if tag == TAG_TILE_OFFSETS:
-            vals = offsets
-        blob = pack_values(typ, cnt, vals)
-        if len(blob) > 4:
-            out += struct.pack("<HHI", tag, typ, cnt) + struct.pack("<I", ext_pos[tag])
-        else:
-            out += struct.pack("<HHI", tag, typ, cnt) + blob.ljust(4, b"\x00")
-    out += struct.pack("<I", 0)  # next-IFD pointer: none
-    # external arrays (same order as offsets were assigned)
-    for tag, typ, cnt, vals in entries:
-        if tag in ext_pos:
+    out += struct.pack("<2sHI", b"II", 42, metas[0]["ifd_offset"])
+    for i, m in enumerate(metas):
+        assert len(out) == m["ifd_offset"]
+        out += struct.pack("<H", len(m["entries"]))
+        for tag, typ, cnt, vals in m["entries"]:
             if tag == TAG_TILE_OFFSETS:
-                vals = offsets
+                vals = m["tile_offsets"]
             blob = pack_values(typ, cnt, vals)
-            assert len(out) == ext_pos[tag], (tag, len(out), ext_pos[tag])
-            out += blob + (b"\x00" if len(blob) & 1 else b"")
+            if len(blob) > 4:
+                out += struct.pack("<HHI", tag, typ, cnt) + struct.pack(
+                    "<I", m["ext_pos"][tag]
+                )
+            else:
+                out += struct.pack("<HHI", tag, typ, cnt) + blob.ljust(4, b"\x00")
+        nxt = metas[i + 1]["ifd_offset"] if i + 1 < len(metas) else 0
+        out += struct.pack("<I", nxt)
+        # external arrays (same order as offsets were assigned)
+        for tag, typ, cnt, vals in m["entries"]:
+            if tag in m["ext_pos"]:
+                if tag == TAG_TILE_OFFSETS:
+                    vals = m["tile_offsets"]
+                blob = pack_values(typ, cnt, vals)
+                assert len(out) == m["ext_pos"][tag], (tag, len(out))
+                out += blob + (b"\x00" if len(blob) & 1 else b"")
     assert len(out) == data_offset
-    for pld in payloads:
-        out += pld
+    for m in metas:
+        for pld in m["payloads"]:
+            out += pld
     with open(path, "wb") as f:
         f.write(bytes(out))
     return {
-        "n_tiles": n_tiles,
-        "ifd_offset": ifd_offset,
+        "n_tiles": len(metas[0]["payloads"]),
+        "ifd_offset": metas[0]["ifd_offset"],
         "data_offset": data_offset,
         "bytes": len(out),
+        "n_ifds": len(metas),
     }
 
 
 def read_gtiff(path: str):
-    """Spec-following reader (the independent oracle): parse the IFD,
-    reassemble tiles, clip to (height, width).  Returns (array, tags)
-    where tags maps tag id → value list."""
+    """Spec-following reader (the independent oracle): parse the
+    first IFD, reassemble tiles, clip to (height, width).  Returns
+    (array, tags) where tags maps tag id → value list."""
     raw = open(path, "rb").read()
     order, magic, ifd = struct.unpack_from("<2sHI", raw, 0)
     assert order == b"II" and magic == 42, "not a little-endian TIFF"
+    arr, tags, _ = _read_ifd(raw, ifd)
+    return arr, tags
+
+
+def read_gtiff_ifds(path: str) -> list[tuple]:
+    """All images in the file by walking the next-IFD chain (spec
+    §2: each IFD ends with the offset of the next, 0 terminates) —
+    the full-resolution raster first, then reduced-resolution
+    overview IFDs (NewSubfileType bit 0 set).  Returns a list of
+    (array, tags) per IFD."""
+    raw = open(path, "rb").read()
+    order, magic, ifd = struct.unpack_from("<2sHI", raw, 0)
+    assert order == b"II" and magic == 42, "not a little-endian TIFF"
+    out = []
+    while ifd:
+        arr, tags, ifd = _read_ifd(raw, ifd)
+        out.append((arr, tags))
+    return out
+
+
+def _read_ifd(raw: bytes, ifd: int):
     (n,) = struct.unpack_from("<H", raw, ifd)
     tags = {}
     _SZ = {_T_SHORT: ("H", 2), _T_LONG: ("I", 4), _T_DOUBLE: ("d", 8), _T_ASCII: ("c", 1)}
@@ -259,14 +317,37 @@ def read_gtiff(path: str):
         ty, tx = divmod(rem, n_tx)
         full[band, ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = tile
     clipped = full[:, :height, :width]
+    (next_ifd,) = struct.unpack_from("<I", raw, ifd + 2 + 12 * n)
     # single band returns 2D for backward-compatible callers
-    return (clipped[0] if n_bands == 1 else clipped), tags
+    return (clipped[0] if n_bands == 1 else clipped), tags, next_ifd
+
+
+def downsample_2x2_mean(a: np.ndarray) -> np.ndarray:
+    """Factor-2 reduction: each output pixel is the mean of its 2×2
+    source window (GDAL 'average' resampling); odd trailing rows/
+    columns average the 1-wide remainder.  Float accumulation, cast
+    back to the input dtype with rounding for integer types."""
+    h, w = a.shape
+    acc = a.astype(np.float64)
+    oh, ow = -(-h // 2), -(-w // 2)
+    out = np.zeros((oh, ow), dtype=np.float64)
+    cnt = np.zeros((oh, ow), dtype=np.float64)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            part = acc[dy::2, dx::2]
+            out[: part.shape[0], : part.shape[1]] += part
+            cnt[: part.shape[0], : part.shape[1]] += 1.0
+    out /= cnt
+    if np.issubdtype(a.dtype, np.integer):
+        return np.round(out).astype(a.dtype)
+    return out.astype(a.dtype)
 
 
 def export_cog(blocks, path: str, width: int, height: int, tile: int = 256,
                gt: tuple = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
                nodata: float | None = None,
-               compression: str | None = None) -> dict:
+               compression: str | None = None,
+               overviews: int = 0) -> dict:
     """Blocks table (the standard block schema, operators/blocks.py)
     → physical COG file.  Stored payload values are written VERBATIM
     (a COG export preserves the on-disk dtype/nodata and stamps the
@@ -314,9 +395,45 @@ def export_cog(blocks, path: str, width: int, height: int, tile: int = 256,
         tx, ty = r["xoff"] // tile, r["yoff"] // tile
         key = (tx, ty) if len(bands) == 1 else (b_idx[r["band"]], tx, ty)
         tiles[key] = a
+    # overview pyramid: assemble each band's full mosaic once, then
+    # factor-2 reduce per level (2×2 mean — the blocks.regrid_bilinear
+    # math degenerates to exactly this at scale 0.5 with pixel-center
+    # alignment) and re-tile on the same COG tile grid.  Built in the
+    # single-writer step from bytes already collected — no extra
+    # Spark pass; at scale each level is one more reduce of the block
+    # table before the fan-in.
+    npdt = _DTYPES[dtype][2]
+    fill = nodata if nodata is not None else 0
+    ov_images = []
+    if overviews > 0:
+        n_b = len(bands)
+        mosaics = []
+        for b in range(max(1, n_b)):
+            m = np.full((height, width), fill, dtype=npdt)
+            for key, a in tiles.items():
+                if n_b == 1:
+                    tx, ty = key
+                elif key[0] != b:
+                    continue
+                else:
+                    _, tx, ty = key
+                m[ty * tile : ty * tile + a.shape[0], tx * tile : tx * tile + a.shape[1]] = a
+            mosaics.append(m)
+        for _ in range(overviews):
+            mosaics = [downsample_2x2_mean(m) for m in mosaics]
+            oh, ow = mosaics[0].shape
+            lvl_tiles = {}
+            for b, m in enumerate(mosaics):
+                for ty in range(-(-oh // tile)):
+                    for tx in range(-(-ow // tile)):
+                        a = m[ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile]
+                        key = (tx, ty) if n_b <= 1 else (b, tx, ty)
+                        lvl_tiles[key] = a
+            ov_images.append({"tiles": lvl_tiles, "width": ow, "height": oh})
     info = write_gtiff(
         path, tiles, width, height, tile, tile, dtype=dtype, gt=gt, nodata=nodata,
-        compression=compression, n_bands=len(bands),
+        compression=compression, n_bands=len(bands) if has_band else 1,
+        overviews=ov_images,
     )
     info["bands"] = bands if has_band else []
     return info

@@ -1,23 +1,27 @@
 """kNN: k-ring candidate expansion + haversine re-rank (north_rule).
 
 Absent in the reference (SURVEY.md §2.3 last row); the Spark-native
-design:
+design — a true table-to-table JOIN (VERDICT r4 task 1):
 
-  1. each query point expands to its quadgrid k-ring cells
-     (driver-side — the query set is small) → (query_id, cell) rows,
-     **broadcast**;
-  2. equi-join points on cell → candidates (no shuffle of the big
-     side);
+  1. the QUERIES are a DataFrame ``(query_id, qlat, qlon)``; each
+     query row expands to its quadgrid k-ring cells with pure Column
+     arithmetic (``query_cells``: explode over two tiny sequences —
+     no driver-side ring materialization, so a million-row query
+     table distributes like any other join side);
+  2. equi-join points on cell — broadcast for bounded query batches,
+     shuffle-on-cell for query tables too big to broadcast
+     (``broadcast_queries=False``);
   3. exact haversine distance as a codegen'd Column expression;
-  4. ``row_number() over (partition by query_id order by dist, id)``
-     ≤ K — the only shuffle, keyed by query_id (bounded cardinality =
-     |queries|; candidates per query are ring-bounded, so no skew).
+  4. two-level ``row_number()`` top-k (``_topk``) — the only
+     shuffle, bucket-salted against dense-cell skew.
 
-Ring sizing: ``ring_for_radius`` converts a search radius to the
-Chebyshev ring count at the given resolution; ``knn_join`` can also
-auto-grow the ring (multiplying by 2) until every query has ≥ K
-candidates — each growth step is one cheap count job on the
-candidate set only.
+Auto-grow no longer collects per-query stats: the grow decision is a
+Column over a per-query aggregate joined back to the query table
+(first-satisfying-ring via ``F.filter`` on a ring sequence), and the
+driver loop reads ONE scalar per iteration (the max needed ring).
+
+A plain python ``list[(qid, lat, lon)]`` is still accepted everywhere
+and is converted to a (tiny) DataFrame first.
 """
 
 from __future__ import annotations
@@ -27,8 +31,30 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from earth_data_kit_spark.functions.columns import cell_id_col, haversine_m_col
-from earth_data_kit_spark.grid import cells
+from earth_data_kit_spark.functions.columns import (
+    RES_SHIFT_MULT,
+    X_SHIFT_MULT,
+    cell_id_col,
+    haversine_m_col,
+)
+from earth_data_kit_spark.grid.cells import nx_ny
+
+_M_PER_DEG = math.pi / 180.0 * 6371000.0  # meridional meters/degree
+
+
+def queries_df(spark: SparkSession, queries) -> DataFrame:
+    """Normalize the queries argument: a DataFrame with columns
+    ``(query_id, qlat, qlon)`` passes through; a python list of
+    ``(query_id, lat, lon)`` tuples becomes a small DataFrame."""
+    if isinstance(queries, DataFrame):
+        missing = {"query_id", "qlat", "qlon"} - set(queries.columns)
+        if missing:
+            raise ValueError(f"queries DataFrame missing columns {sorted(missing)}")
+        return queries.select("query_id", "qlat", "qlon")
+    return spark.createDataFrame(
+        [(int(q), float(la), float(lo)) for q, la, lo in queries],
+        "query_id bigint, qlat double, qlon double",
+    )
 
 
 def ring_for_radius(radius_m: float, res: int, at_lat: float = 0.0) -> int:
@@ -38,11 +64,11 @@ def ring_for_radius(radius_m: float, res: int, at_lat: float = 0.0) -> int:
     (``|lat| + radius/111320``), where the longitudinal meter-width of
     a cell is smallest — sizing at the query's own latitude under-
     covers poleward radii.  When the radius reaches the pole the ring
-    spans the full longitude circle (k_ring handles the wrap), so the
-    join stays exact at any latitude."""
+    spans the full longitude circle (the wrap is handled by the ring
+    enumeration), so the join stays exact at any latitude."""
     cell_deg = 180.0 / (1 << res)
     nx = 2 << res
-    full_lon = (nx + 1) // 2  # 2k+1 >= nx → k_ring covers every column
+    full_lon = (nx + 1) // 2  # 2k+1 >= nx → ring covers every column
     radius_deg = radius_m / 111320.0
     lat_reach = abs(at_lat) + radius_deg
     y_ring = max(1, math.ceil(radius_deg / cell_deg))
@@ -52,23 +78,102 @@ def ring_for_radius(radius_m: float, res: int, at_lat: float = 0.0) -> int:
     return max(1, min(max(full_lon, y_ring), math.ceil(deg / cell_deg)))
 
 
-def query_rings_df(
-    spark: SparkSession,
-    queries: list[tuple[int, float, float]],  # (query_id, lat, lon)
-    res: int,
-    ring: int,
-) -> DataFrame:
-    rows = []
-    for qid, qlat, qlon in queries:
-        c = cells.cell_id_single(qlon, qlat, res)
-        for cell in cells.k_ring(c, ring):
-            rows.append((qid, qlat, qlon, int(cell)))
-    return spark.createDataFrame(rows, "query_id bigint, qlat double, qlon double, cell bigint")
+def ring_for_radius_col(radius_m: float, res: int, qlat) -> "F.Column":
+    """Column twin of ``ring_for_radius`` — per-query ring sizing
+    inside the plan (same arithmetic term for term)."""
+    cell_deg = 180.0 / (1 << res)
+    nx = 2 << res
+    full_lon = (nx + 1) // 2
+    radius_deg = radius_m / 111320.0
+    y_ring = max(1, math.ceil(radius_deg / cell_deg))
+    lat_reach = F.abs(qlat) + F.lit(radius_deg)
+    ring_else = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.least(
+            F.lit(max(full_lon, y_ring)).cast("bigint"),
+            F.ceil(F.lit(radius_deg) / F.cos(F.radians(lat_reach)) / F.lit(cell_deg)),
+        ),
+    )
+    return F.when(
+        lat_reach >= 89.9, F.lit(max(y_ring, full_lon)).cast("bigint")
+    ).otherwise(ring_else)
+
+
+def query_cells(queries: DataFrame, res: int, ring) -> DataFrame:
+    """k-ring cell expansion of a query table — PURE Column plan.
+
+    ``ring`` is an int (same ring for all queries) or a Column
+    (per-query, e.g. ``ring_for_radius_col``).  Enumerates
+    ``span = min(2·ring+1, nx)`` columns per query as
+    ``(qx - ⌊(span-1)/2⌋ + dx) mod nx`` — identical cell set to
+    ``grid.cells.k_ring`` including the full-longitude wrap case,
+    where every column appears exactly once — and ``2·ring+1`` rows
+    clamped at the poles.  Two ``explode(sequence(...))`` nodes, no
+    Python, no driver loop: the expansion runs wherever the query
+    rows live (VERDICT r4 task 1)."""
+    nx, ny = nx_ny(res)
+    ringc = (F.lit(int(ring)) if isinstance(ring, int) else ring).cast("bigint")
+    qx = F.least(
+        F.greatest(
+            F.floor((F.col("qlon") + 180.0) / 360.0 * nx).cast("bigint"), F.lit(0)
+        ),
+        F.lit(nx - 1),
+    )
+    qy = F.least(
+        F.greatest(
+            F.floor((F.lit(90.0) - F.col("qlat")) / 180.0 * ny).cast("bigint"), F.lit(0)
+        ),
+        F.lit(ny - 1),
+    )
+    span = F.least(F.lit(2).cast("bigint") * ringc + 1, F.lit(nx).cast("bigint"))
+    base = queries.select(
+        "query_id",
+        "qlat",
+        "qlon",
+        qx.alias("_qx"),
+        qy.alias("_qy"),
+        span.alias("_span"),
+        ringc.alias("_ring"),
+    )
+    ex = base.withColumn(
+        "_dx", F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("_span") - 1))
+    )
+    xx = F.pmod(
+        F.col("_qx") - F.floor((F.col("_span") - 1) / 2).cast("bigint") + F.col("_dx"),
+        F.lit(nx).cast("bigint"),
+    )
+    ex = ex.withColumn("_xx", xx).withColumn(
+        "_dy",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.lit(2).cast("bigint") * F.col("_ring"))),
+    )
+    yy = F.col("_qy") - F.col("_ring") + F.col("_dy")
+    ex = ex.withColumn("_yy", yy).where((F.col("_yy") >= 0) & (F.col("_yy") < ny))
+    cell = (
+        F.lit(res).cast("bigint") * F.lit(RES_SHIFT_MULT)
+        + F.col("_xx") * F.lit(X_SHIFT_MULT)
+        + F.col("_yy")
+    )
+    return ex.select("query_id", "qlat", "qlon", cell.alias("cell"))
+
+
+def _safe_radius_col(qlat, r, cell_deg: float) -> "F.Column":
+    """Lower bound (meters) on the distance from any query inside the
+    center cell to any point OUTSIDE ring ``r`` — Column twin of the
+    auto-grow exactness bound: ``(r-1)·cell_deg·m/deg·cos(edge_lat)``
+    with ``edge_lat`` the highest |lat| the ring can reach."""
+    rd = r.cast("double")
+    edge = F.least(F.lit(89.0), F.abs(qlat) + rd * F.lit(cell_deg))
+    return (
+        (rd - 1.0)
+        * F.lit(cell_deg)
+        * F.lit(_M_PER_DEG)
+        * F.least(F.lit(1.0), F.cos(F.radians(edge)))
+    )
 
 
 def knn_join(
     points: DataFrame,
-    queries: list[tuple[int, float, float]],
+    queries,
     k: int,
     res: int = 7,
     ring: int = 2,
@@ -77,12 +182,20 @@ def knn_join(
     lat_col: str = "lat",
     auto_grow: bool = False,
     max_ring: int = 64,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Top-K nearest points per query → columns (query_id, rank,
-    <id_col>, dist_m).  Exact within the ring radius; auto_grow
-    verifies sufficiency and widens if any query is starved.
-    """
+    <id_col>, dist_m).  ``queries`` is a DataFrame ``(query_id, qlat,
+    qlon)`` (table-to-table join — distributes at any query count) or
+    a python list of tuples (converted).  Exact within the ring
+    radius; ``auto_grow`` verifies sufficiency per query and widens —
+    the grow decision is computed IN the plan (per-query aggregate
+    joined back to the query table) and the driver reads one scalar
+    per iteration.  ``broadcast_queries=False`` switches the
+    candidate join to a shuffle on ``cell`` for query tables too
+    large to broadcast."""
     spark = points.sparkSession
+    qdf = queries_df(spark, queries)
     pts = points.select(id_col, lon_col, lat_col).withColumn(
         "cell", cell_id_col(F.col(lon_col), F.col(lat_col), res)
     )
@@ -95,31 +208,54 @@ def knn_join(
         # queries share, with the lifetime the caller owns)
         pts = pts.persist()
 
-    # Exactness guarantee for auto_grow: after finding ≥k candidates
-    # at ring r, the k-th distance must not exceed the minimum
-    # distance to any cell OUTSIDE the ring, lower-bounded by
-    # (r-1) · cell_deg · 111194.9 · cos(highest |lat| the ring can
-    # reach) — otherwise a closer point could hide outside, so grow.
     cell_deg = 180.0 / (1 << res)
-    m_per_deg = math.pi / 180.0 * 6371000.0  # meridional meters/degree
+    dist = haversine_m_col(F.col("qlat"), F.col("qlon"), F.col(lat_col), F.col(lon_col))
 
-    def _safe_radius(qlat: float, r: int) -> float:
-        if r < 1:
-            return 0.0
-        edge_lat = min(89.0, abs(qlat) + r * cell_deg)
-        return (r - 1) * cell_deg * m_per_deg * min(1.0, math.cos(math.radians(edge_lat)))
-
-    def _ring_for_dk(qlat: float, dk_m: float, start: int) -> int:
-        r = start
-        while r < max_ring and _safe_radius(qlat, r) < dk_m:
-            r += 1
-        return r
+    def _cand(r: int) -> DataFrame:
+        rings = query_cells(qdf, res, r)
+        return pts.join(F.broadcast(rings) if broadcast_queries else rings, "cell")
 
     try:
-        cand = _grow_candidates(
-            spark, pts, queries, res, ring, k, max_ring, auto_grow,
-            lon_col, lat_col, _ring_for_dk,
-        )
+        while auto_grow and ring < max_ring:
+            # ONE aggregate job per iteration: per-query candidate
+            # count and k-th distance, LEFT-joined back to the query
+            # table (zero-candidate queries must surface as starved),
+            # the needed ring as a Column, one MAX scalar collected.
+            wk = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc())
+            stats = (
+                _cand(ring)
+                .withColumn("dist_m", dist)
+                .withColumn("rn", F.row_number().over(wk))
+                .groupBy("query_id")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.min(F.when(F.col("rn") == k, F.col("dist_m"))).alias("dk"),
+                )
+            )
+            full = qdf.join(stats, "query_id", "left")
+            # ≥k candidates → smallest ring in [ring, max_ring] whose
+            # safe radius covers dk (first satisfying element of the
+            # ring sequence — exact parity with a linear scan);
+            # starved → scale by sqrt(k/n) (candidates grow ~ring²).
+            rs = F.sequence(F.lit(ring), F.lit(max_ring))
+            sat = F.filter(
+                rs, lambda r: _safe_radius_col(F.col("qlat"), r, cell_deg) >= F.col("dk")
+            )
+            # try_element_at: the satisfying-ring array is EMPTY when
+            # no ring in range covers dk (ANSI element_at would throw)
+            need_cov = F.coalesce(F.try_element_at(sat, F.lit(1)), F.lit(max_ring))
+            grow = F.greatest(
+                F.lit(2.0),
+                F.sqrt((F.lit(k) + 1.0) / F.greatest(F.coalesce(F.col("n"), F.lit(0)), F.lit(1)).cast("double")),
+            )
+            need = F.when(F.col("dk").isNotNull(), need_cov).otherwise(
+                F.ceil(F.lit(ring) * grow)
+            )
+            mx = full.agg(F.max(need).alias("need")).first()["need"]
+            if mx is None or mx <= ring:
+                break
+            ring = min(max_ring, int(mx))
+        cand = _cand(ring)
     finally:
         if auto_grow:
             # cache lifetime ends with the growth loop: every probe
@@ -130,51 +266,8 @@ def knn_join(
             # calls in a long session accumulated cache)
             pts.unpersist()
 
-    dist = haversine_m_col(F.col("qlat"), F.col("qlon"), F.col(lat_col), F.col(lon_col))
     scored = cand.withColumn("dist_m", dist).select("query_id", id_col, "dist_m")
     return _topk(scored, k, id_col)
-
-
-def _grow_candidates(
-    spark, pts, queries, res, ring, k, max_ring, auto_grow,
-    lon_col, lat_col, _ring_for_dk,
-):
-    while True:
-        rings = query_rings_df(spark, queries, res, ring)
-        cand = pts.join(F.broadcast(rings), "cell")
-        if not auto_grow or ring >= max_ring:
-            break
-        # ONE probe pass per iteration: per-query candidate count and
-        # k-th distance together; |queries| rows collected (bounded).
-        dist0 = haversine_m_col(F.col("qlat"), F.col("qlon"), F.col(lat_col), F.col(lon_col))
-        wk = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc())
-        stats = (
-            cand.withColumn("dist_m", dist0)
-            .withColumn("rn", F.row_number().over(wk))
-            .groupBy("query_id")
-            .agg(
-                F.count("*").alias("n"),
-                F.min(F.when(F.col("rn") == k, F.col("dist_m"))).alias("dk"),
-            )
-            .collect()
-        )
-        by_q = {r["query_id"]: (r["n"], r["dk"]) for r in stats}
-        # jump straight to the ring each query needs (instead of
-        # blind doubling — one extra pass typically suffices):
-        # * ≥k candidates → smallest ring whose safe radius covers dk
-        # * starved → scale by sqrt(k/n) (candidates grow ~ring²)
-        need = ring
-        for qid, qlat, _ in queries:
-            n, dk = by_q.get(qid, (0, None))
-            if dk is not None:
-                need = max(need, _ring_for_dk(qlat, dk, ring))
-            else:
-                grow = max(2.0, math.sqrt((k + 1) / max(n, 1)))
-                need = max(need, math.ceil(ring * grow))
-        if need <= ring:
-            break
-        ring = min(max_ring, need)
-    return cand
 
 
 def _topk(scored: DataFrame, k: int, id_col: str, prune_buckets: int = 64) -> DataFrame:
@@ -209,32 +302,28 @@ def _topk(scored: DataFrame, k: int, id_col: str, prune_buckets: int = 64) -> Da
 
 def radius_join(
     points: DataFrame,
-    queries: list[tuple[int, float, float]],
+    queries,
     radius_m: float,
     res: int = 7,
     id_col: str = "page_id",
     lon_col: str = "lon",
     lat_col: str = "lat",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Range join: all points within ``radius_m`` of each query —
-    exact, because each query's ring is sized to cover the radius at
-    its latitude (ring_for_radius) and the haversine filter refines.
-    Same broadcast shape as kNN: the points side never shuffles.
-    Output: (query_id, <id_col>, dist_m)."""
+    exact, because each query's ring is sized IN the plan to cover
+    the radius at its latitude (``ring_for_radius_col``) and the
+    haversine filter refines.  ``queries`` is a DataFrame or a list;
+    with a DataFrame the ring expansion is Column-only, so the join
+    distributes at any query count.  Output: (query_id, <id_col>,
+    dist_m)."""
     spark = points.sparkSession
-    rows = []
-    for qid, qlat, qlon in queries:
-        ring = ring_for_radius(radius_m, res, at_lat=qlat)
-        c = cells.cell_id_single(qlon, qlat, res)
-        for cell in cells.k_ring(c, ring):
-            rows.append((qid, qlat, qlon, int(cell)))
-    rings = spark.createDataFrame(
-        rows, "query_id bigint, qlat double, qlon double, cell bigint"
-    )
+    qdf = queries_df(spark, queries)
+    rings = query_cells(qdf, res, ring_for_radius_col(radius_m, res, F.col("qlat")))
     pts = points.withColumn("cell", cell_id_col(F.col(lon_col), F.col(lat_col), res))
     dist = haversine_m_col(F.col("qlat"), F.col("qlon"), F.col(lat_col), F.col(lon_col))
     return (
-        pts.join(F.broadcast(rings), "cell")
+        pts.join(F.broadcast(rings) if broadcast_queries else rings, "cell")
         .withColumn("dist_m", dist)
         .where(F.col("dist_m") <= radius_m)
         .select("query_id", id_col, "dist_m")
@@ -243,7 +332,7 @@ def radius_join(
 
 def knn_brute_force(
     points: DataFrame,
-    queries: list[tuple[int, float, float]],
+    queries,
     k: int,
     id_col: str = "page_id",
     lon_col: str = "lon",
@@ -253,7 +342,7 @@ def knn_brute_force(
     Also the correct plan when queries are few and no cell index
     exists yet (one scan, no index build)."""
     spark = points.sparkSession
-    qdf = spark.createDataFrame(queries, "query_id bigint, qlat double, qlon double")
+    qdf = queries_df(spark, queries)
     dist = haversine_m_col(F.col("qlat"), F.col("qlon"), F.col(lat_col), F.col(lon_col))
     scored = (
         points.crossJoin(F.broadcast(qdf))

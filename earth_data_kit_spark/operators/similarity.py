@@ -258,39 +258,48 @@ def ivf_query_stored(
     qid_col: str = "query_id",
     qvec_col: str = "qvec",
 ) -> DataFrame:
-    """Answer top-k from a STORED IVF index with a pure-JVM plan.
+    """Answer top-k from a STORED IVF index; the corpus-side plan is
+    pure JVM.
 
-    Probe selection (which lists each query searches) runs driver-side
-    in numpy over the |queries| × nlist similarity matrix — bounded by
-    the query batch, never the corpus.  The executed plan is then:
-    partition-pruned scan (``list_id isin(probed)`` reaches the
-    parquet source as a PartitionFilter) → BroadcastHashJoin with the
-    exploded (query, probe-list) table → cosine as Column arithmetic →
-    two-level window top-k.  No Python eval nodes anywhere
-    (pytest-asserted); with ``n_probe == nlist`` results are exactly
-    the brute-force top-k (same tie-break), which is the test oracle.
-    """
-    spark = indexed.sparkSession
+    Probe selection (which lists each query searches) runs as an
+    Arrow-batched pandas UDF over the QUERY DataFrame — the centroid
+    matrix (tiny: nlist × dim) ships in the UDF closure, and the
+    probe lists ``explode`` in-plan, so a million-row query table
+    selects its probes wherever its rows live instead of funneling
+    through ``queries.toPandas()`` on the driver (VERDICT r4 task 2).
+    The partition-pruning list (which list_id directories to read at
+    all) is the DISTINCT of the exploded probes — one cheap job over
+    the queries table collecting ≤ nlist values, never O(|queries|).
+    The executed corpus plan is then: partition-pruned scan
+    (``list_id isin(probed)`` reaches the parquet source as a
+    PartitionFilter) → BroadcastHashJoin with the probe table →
+    cosine as Column arithmetic → two-level window top-k.  The ONLY
+    Python eval node in the whole plan is the probe-selection UDF on
+    the query side (pytest-asserted); with ``n_probe == nlist``
+    results are exactly the brute-force top-k (same tie-break), which
+    is the test oracle."""
     cent = centroids.sort_values("list_id")
     C = np.stack([np.asarray(c, dtype=np.float64) for c in cent["centroid"]])
-    qpdf = queries.toPandas()
-    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf[qvec_col]])
-    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    top = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
-    probe_rows = [
-        {
-            qid_col: qpdf[qid_col].iloc[i],
-            qvec_col: list(qpdf[qvec_col].iloc[i]),
-            "list_id": int(cent["list_id"].iloc[j]),
-        }
-        for i in range(len(qpdf))
-        for j in top[i]
-    ]
-    probe_df = spark.createDataFrame(
-        pd.DataFrame(probe_rows),
-        f"{qid_col} bigint, {qvec_col} array<float>, list_id int",
+    lids = cent["list_id"].to_numpy()
+
+    @F.pandas_udf("array<int>")
+    def _probes(qv: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in qv])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        top = np.argsort(-(m @ C.T), axis=1)[:, :n_probe]
+        return pd.Series([lids[row].tolist() for row in top])
+
+    probe_df = queries.select(qid_col, qvec_col).withColumn(
+        "list_id", F.explode(_probes(F.col(qvec_col)))
     )
-    probed = sorted({r["list_id"] for r in probe_rows})
+    # ≤ nlist values from a distributed distinct over the (small)
+    # probe table — this is what keeps the static PartitionFilter on
+    # the corpus scan (only nprobe/nlist of the stored bytes are ever
+    # read); the probe UDF recomputes in the join branch, which is
+    # cheaper than caching a query-sized table for one reuse.
+    probed = sorted(
+        r["list_id"] for r in probe_df.select("list_id").distinct().collect()
+    )
     cand = indexed.where(F.col("list_id").isin(probed)).join(
         F.broadcast(probe_df), "list_id"
     )

@@ -211,3 +211,102 @@ def test_export_cog_rejects_block_larger_than_tile(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="exceeds COG tile"):
         export_cog(blocks, str(tmp_path / "big.tif"), 384, 384, tile=256)
+
+
+def test_cog_overviews_roundtrip_and_pixel_oracle(spark, tmp_path):
+    """VERDICT r4 task 7: factor-2 reduced-resolution overview IFDs.
+    The independent spec reader walks the next-IFD chain; level 1 is
+    pixel-checked against a numpy 2x2-mean oracle computed from the
+    source mosaic (independent of the writer's downsample code
+    path), level 2 against the oracle applied twice."""
+    import numpy as np
+
+    from earth_data_kit_spark.operators.gtiff import (
+        TAG_LENGTH,
+        TAG_SUBFILETYPE,
+        TAG_WIDTH,
+        export_cog,
+        read_gtiff_ifds,
+    )
+
+    rng = np.random.default_rng(11)
+    w = h = 512
+    tile = 256
+    src = rng.integers(-500, 3000, size=(h, w), dtype=np.int16)
+    rows = []
+    for ty in range(h // tile):
+        for tx in range(w // tile):
+            a = src[ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile]
+            rows.append((tx * tile, ty * tile, tile, tile, "int16", None, a.tobytes()))
+    blocks = spark.createDataFrame(
+        rows,
+        "xoff int, yoff int, xsize int, ysize int, dtype string, "
+        "nodataval double, payload binary",
+    )
+    p = str(tmp_path / "ov.tif")
+    info = export_cog(blocks, p, w, h, tile=tile, overviews=2)
+    assert info["n_ifds"] == 3
+
+    ifds = read_gtiff_ifds(p)
+    assert len(ifds) == 3
+    full, tags0 = ifds[0]
+    assert TAG_SUBFILETYPE not in tags0
+    assert np.array_equal(full, src)
+
+    # independent oracle: mean of each 2x2 window, rounded to int16
+    def oracle_half(a):
+        a = a.astype(np.float64)
+        return np.round(
+            (a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]) / 4.0
+        ).astype(np.int16)
+
+    lvl1, tags1 = ifds[1]
+    assert tags1[TAG_SUBFILETYPE] == [1]
+    assert (tags1[TAG_WIDTH][0], tags1[TAG_LENGTH][0]) == (256, 256)
+    assert np.array_equal(lvl1, oracle_half(src))
+
+    lvl2, tags2 = ifds[2]
+    assert tags2[TAG_SUBFILETYPE] == [1]
+    assert (tags2[TAG_WIDTH][0], tags2[TAG_LENGTH][0]) == (128, 128)
+    assert np.array_equal(lvl2, oracle_half(oracle_half(src)))
+
+
+def test_cog_overviews_odd_dims_and_deflate(tmp_path):
+    """Odd-dimension levels: trailing row/col averages the available
+    pixels only; DEFLATE-compressed overview tiles roundtrip."""
+    import numpy as np
+
+    from earth_data_kit_spark.operators.gtiff import (
+        downsample_2x2_mean,
+        read_gtiff_ifds,
+        write_gtiff,
+    )
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 1000, size=(5, 7), dtype=np.int16)
+    half = downsample_2x2_mean(src)
+    assert half.shape == (3, 4)
+    # interior window
+    assert half[0, 0] == np.round(src[:2, :2].mean())
+    # trailing column (1-wide) and row (1-high)
+    assert half[0, 3] == np.round(src[0:2, 6].mean())
+    assert half[2, 0] == np.round(src[4, 0:2].mean())
+    assert half[2, 3] == src[4, 6]
+
+    # write a 300x300 with one overview, deflate
+    w = h = 300
+    src2 = rng.integers(0, 1000, size=(h, w), dtype=np.int16)
+    lvl = downsample_2x2_mean(src2)
+    tiles0 = {}
+    tile = 256
+    for ty in range(-(-h // tile)):
+        for tx in range(-(-w // tile)):
+            tiles0[(tx, ty)] = src2[ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile]
+    ov = {"tiles": {(0, 0): lvl}, "width": 150, "height": 150}
+    p = str(tmp_path / "odd.tif")
+    write_gtiff(p, tiles0, w, h, tile, tile, dtype="int16",
+                compression="deflate", overviews=[ov])
+    ifds = read_gtiff_ifds(p)
+    assert len(ifds) == 2
+    assert np.array_equal(ifds[0][0], src2)
+    assert np.array_equal(ifds[1][0], lvl)

@@ -154,8 +154,16 @@ def test_ivf_stored_index_pure_jvm_and_exact_at_full_probe(spark, emb, queries, 
 
     full = sim.ivf_query_stored(indexed, cents, queries, k=10, n_probe=n_lists)
     plan = full._jdf.queryExecution().executedPlan().toString()
-    for node in ("ArrowEvalPython", "BatchEvalPython", "FlatMapsInPandas", "MapInPandas"):
+    # the ONLY Python in the plan is the Arrow probe-selection UDF on
+    # the QUERY side (VERDICT r4 task 2: probe selection moved off the
+    # driver); the corpus branch — scan, join, cosine, top-k — stays
+    # JVM-only: exactly one ArrowEvalPython, and it consumes the query
+    # table's columns, not the corpus vector column.
+    assert plan.count("ArrowEvalPython") == 1, plan
+    for node in ("BatchEvalPython", "FlatMapsInPandas", "MapInPandas"):
         assert node not in plan, f"Python leaked into stored-ANN query plan: {node}"
+    probe_stage = plan.split("ArrowEvalPython")[1].split("\n")[0]
+    assert "qvec" in probe_stage and "embedding" not in probe_stage
     assert "PartitionFilters" in plan and "list_id" in plan
 
     exp = oracle_topk(emb.toPandas(), queries.toPandas(), 10)

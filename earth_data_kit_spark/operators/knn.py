@@ -183,6 +183,7 @@ def knn_join(
     auto_grow: bool = False,
     max_ring: int = 64,
     broadcast_queries: bool = True,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """Top-K nearest points per query → columns (query_id, rank,
     <id_col>, dist_m).  ``queries`` is a DataFrame ``(query_id, qlat,
@@ -193,12 +194,20 @@ def knn_join(
     joined back to the query table) and the driver reads one scalar
     per iteration.  ``broadcast_queries=False`` switches the
     candidate join to a shuffle on ``cell`` for query tables too
-    large to broadcast."""
+    large to broadcast.  ``cell_col`` names a PRECOMPUTED quadgrid
+    cell column at this ``res`` (the stored-index layout — cell
+    stamped once at ingest, the pip_join_s2 stored-leaf pattern), in
+    which case the scan carries zero per-query index math."""
     spark = points.sparkSession
     qdf = queries_df(spark, queries)
-    pts = points.select(id_col, lon_col, lat_col).withColumn(
-        "cell", cell_id_col(F.col(lon_col), F.col(lat_col), res)
-    )
+    if cell_col is None:
+        pts = points.select(id_col, lon_col, lat_col).withColumn(
+            "cell", cell_id_col(F.col(lon_col), F.col(lat_col), res)
+        )
+    else:
+        pts = points.select(
+            id_col, lon_col, lat_col, F.col(cell_col).alias("cell")
+        )
     if auto_grow:
         # the growth loop re-joins the cell-indexed points once per
         # iteration — persist the (projected) index so every probe

@@ -207,3 +207,121 @@ def test_blocks_extent_uses_standard_block_schema(spark):
 
     blocks = synth_blocks_df(spark, 96, 64, 32, band="B1", scale=1.0)
     assert blocks_extent(blocks) == (96, 64)
+
+
+def test_xr_backend_entrypoint_contract_with_stubbed_xarray(spark, tmp_path):
+    """VERDICT r4 task 8: execute EDKSparkBackend.open_dataset and the
+    BackendArray indexing path for real, with xarray stubbed at its
+    plugin API boundary (BackendArray/BackendEntrypoint base classes,
+    core.indexing.explicit_indexing_adapter contract, DataArray
+    container).  The adapter output must match the native
+    EDKLabeledArray facade on the same blocks table."""
+    import importlib
+    import sys
+    import types
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from earth_data_kit_spark.operators.blocks import synth_blocks_df
+    from earth_data_kit_spark.operators.dataarray import EDKLabeledArray
+
+    blocks = (
+        synth_blocks_df(spark, 64, 48, 32, band="B1", scale=1.0)
+        .withColumn("t", F.lit(0))
+    )
+    path = str(tmp_path / "blocks")
+    blocks.write.parquet(path)
+
+    # ---- minimal xarray stub: exactly the plugin API the adapter uses
+    xr_mod = types.ModuleType("xarray")
+    backends_mod = types.ModuleType("xarray.backends")
+    core_mod = types.ModuleType("xarray.core")
+    indexing_mod = types.ModuleType("xarray.core.indexing")
+
+    class BackendArray:
+        pass
+
+    class BackendEntrypoint:
+        pass
+
+    class LazilyIndexedArray:
+        def __init__(self, array):
+            self.array = array
+
+    class IndexingSupport:
+        BASIC = "basic"
+
+    def explicit_indexing_adapter(key, shape, support, raw_method):
+        # xarray's contract: with BASIC support, the raw method gets a
+        # tuple of ints/slices covering every axis
+        assert support == IndexingSupport.BASIC
+        return raw_method(key)
+
+    class DataArray:
+        def __init__(self, data, dims, coords):
+            self.data = data
+            self.dims = dims
+            self.coords = coords
+
+        def to_dataset(self, name):
+            return {name: self}
+
+    backends_mod.BackendArray = BackendArray
+    backends_mod.BackendEntrypoint = BackendEntrypoint
+    indexing_mod.LazilyIndexedArray = LazilyIndexedArray
+    indexing_mod.IndexingSupport = IndexingSupport
+    indexing_mod.explicit_indexing_adapter = explicit_indexing_adapter
+    xr_mod.DataArray = DataArray
+    xr_mod.backends = backends_mod
+    xr_mod.core = core_mod
+    core_mod.indexing = indexing_mod
+
+    saved = {k: sys.modules.get(k) for k in
+             ("xarray", "xarray.backends", "xarray.core", "xarray.core.indexing")}
+    sys.modules.update({
+        "xarray": xr_mod,
+        "xarray.backends": backends_mod,
+        "xarray.core": core_mod,
+        "xarray.core.indexing": indexing_mod,
+    })
+    import earth_data_kit_spark.xr_adapter as xr_adapter
+
+    try:
+        xr_adapter = importlib.reload(xr_adapter)
+        assert xr_adapter.HAS_XARRAY
+        be = xr_adapter.EDKSparkBackend()
+        assert be.guess_can_open(path) is False
+        gt = (10.0, 0.5, 0.0, 40.0, 0.0, -0.5)
+        ds = be.open_dataset(
+            path, spark=spark, times=["2020-01-01"], bands=["B1"], gt=gt
+        )
+        da = ds["edk"]
+        assert da.dims == ("time", "band", "x", "y")
+        assert len(da.coords["x"]) == 64 and len(da.coords["y"]) == 48
+        np.testing.assert_allclose(da.coords["x"][:3], [10.0, 10.5, 11.0])
+
+        # the native facade is the oracle for the adapter's reads
+        oracle = EDKLabeledArray.from_geotransform(
+            blocks, times=["2020-01-01"], bands=["B1"], gt=gt,
+            x_size=64, y_size=48,
+        )
+        ba = da.data.array  # LazilyIndexedArray wraps the BackendArray
+        full = ba[(0, 0, slice(None), slice(None))]
+        assert full.shape == (64, 48)
+        np.testing.assert_array_equal(full, oracle.isel(time=0, band=0))
+
+        # int x/y key: the adapter squeezes what the facade keeps
+        col = ba[(0, 0, slice(0, 5), 3)]
+        assert col.shape == (5,)
+        np.testing.assert_array_equal(
+            col, oracle.isel(time=0, band=0)[0:5, 3]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+        xr_adapter = importlib.reload(xr_adapter)
+        assert not xr_adapter.HAS_XARRAY

@@ -222,11 +222,11 @@ def test_ppm_roundtrip_and_codec_seam():
     assert np.array_equal(mm.decode_ppm(mm.encode_ppm(img)), img)
     # real decode through the seam
     assert np.array_equal(mm.decode_image(mm.encode_ppm(img)), img)
-    # compressed codecs are an explicit, clearly-marked stub
+    # truly unknown codecs fail loudly (JPEG now decodes for real)
     import pytest
 
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
+    with pytest.raises(ValueError, match="unrecognized image payload"):
+        mm.decode_image(b"BM notabitmap")
 
 
 def test_pcm_and_rawvideo_decode():
@@ -452,13 +452,20 @@ def test_png_decode_of_engine_rendered_png():
     assert tuple(rgb[3, 4]) == (253, 231, 37)   # viridis high anchor
 
 
-def test_jpeg_stays_a_marked_seam():
-    import pytest as _pytest
+def test_jpeg_decodes_through_dispatch():
+    """VERDICT r4 task 5: the JPEG seam is closed — a baseline JPEG
+    payload decodes through decode_image to (h, w, 3) uint8."""
+    import numpy as np
 
+    from earth_data_kit_spark.operators.jpeg import encode_jpeg
     from earth_data_kit_spark.operators.multimodal import decode_image
 
-    with _pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+    yy, xx = np.mgrid[0:24, 0:32]
+    gray = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    out = decode_image(encode_jpeg(gray, quality=95))
+    assert out.shape == (24, 32, 3)  # gray broadcast to 3 channels
+    err = np.abs(out[..., 0].astype(float) - gray.astype(float))
+    assert err.mean() < 3.0
 
 
 def test_png_roundtrip_property():

@@ -45,7 +45,121 @@ TAG_TIEPOINT = 33922
 TAG_GEO_KEYS = 34735
 TAG_NODATA = 42113  # GDAL_NODATA (ASCII)
 
+TAG_PREDICTOR = 317  # 1 = none, 2 = horizontal differencing
+
 _T_SHORT, _T_LONG, _T_DOUBLE, _T_ASCII = 3, 4, 12, 2
+
+# ------------------------------------------------------------ TIFF LZW
+# TIFF 6.0 §13: LZW with 9→12-bit variable-width codes, MSB-first bit
+# packing, ClearCode=256, EndOfInformation=257, and the "early change"
+# quirk — the code width bumps ONE CODE EARLIER than generic LZW (the
+# decoder switches at table sizes 510/1022/2046; the encoder emits at
+# the wider width as soon as the next code to be added equals
+# 2^width - 1).  Table resets via ClearCode at 4094 entries.
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def lzw_compress(data: bytes) -> bytes:
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(_LZW_CLEAR, width)
+    omega = b""
+    for b in data:
+        k = omega + bytes([b])
+        if k in table:
+            omega = k
+            continue
+        emit(table[omega], width)
+        table[k] = next_code
+        next_code += 1
+        # early change: switch width when the NEXT code to assign
+        # no longer fits at the current width minus one slot
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        omega = bytes([b])
+        if next_code >= 4094:
+            emit(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+    if omega:
+        emit(table[omega], width)
+        # flush adds no entry but the decoder still appends one upon
+        # receiving this code — mirror its early-change point exactly
+        if next_code == (1 << width) - 2 and width < 12:
+            width += 1
+    emit(_LZW_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decompress(data: bytes) -> bytes:
+    out = bytearray()
+    pos_bits = 0
+    total_bits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal pos_bits
+        if pos_bits + width > total_bits:
+            return _LZW_EOI
+        v = 0
+        for _ in range(width):
+            byte = data[pos_bits >> 3]
+            v = (v << 1) | ((byte >> (7 - (pos_bits & 7))) & 1)
+            pos_bits += 1
+        return v
+
+    table: list[bytes] = []
+    width = 9
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    reset()
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            reset()
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream: code beyond table")
+        out += entry
+        prev = entry
+        # early change (T.81 ref impl / libtiff): the decoder's table
+        # trails the encoder's by one entry mid-stream, so it widens
+        # at 510/1022/2046 — one earlier than (1<<width)-1
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
 
 _DTYPES = {
     "int16": (16, 2, np.int16),
@@ -86,10 +200,10 @@ def write_gtiff(
     ``gt`` is the GDAL geotransform; north-up only (rotation terms
     must be 0) since GeoTIFF's PixelScale+Tiepoint encoding cannot
     express rotation."""
-    if compression not in (None, "deflate"):
+    if compression not in (None, "deflate", "lzw"):
         raise NotImplementedError(
-            f"unsupported compression {compression!r}: DEFLATE (zlib) is "
-            "implemented; JPEG/LZW need external codecs"
+            f"unsupported compression {compression!r}: DEFLATE (zlib) and "
+            "TIFF-LZW are implemented; JPEG-in-TIFF needs an external codec"
         )
     if gt[2] != 0.0 or gt[4] != 0.0:
         raise ValueError("rotated geotransforms cannot be encoded in GeoTIFF")
@@ -122,7 +236,12 @@ def write_gtiff(
                         a = np.asarray(a, dtype=npdt)
                         full[: a.shape[0], : a.shape[1]] = a
                     raw = full.tobytes()  # native little-endian
-                    out.append(zlib.compress(raw, 6) if compression else raw)
+                    if compression == "deflate":
+                        out.append(zlib.compress(raw, 6))
+                    elif compression == "lzw":
+                        out.append(lzw_compress(raw))
+                    else:
+                        out.append(raw)
         return out
 
     nodata_ascii = (
@@ -142,7 +261,9 @@ def write_gtiff(
             (TAG_LENGTH, _T_LONG, 1, [img["height"]]),
             (TAG_BITS, _T_SHORT, n_bands, [bits] * n_bands),
             # 1 = none, 8 = Adobe DEFLATE (zlib streams per tile)
-            (TAG_COMPRESSION, _T_SHORT, 1, [8 if compression else 1]),
+            # 1 = none, 5 = TIFF-LZW, 8 = Adobe DEFLATE
+            (TAG_COMPRESSION, _T_SHORT, 1,
+             [{None: 1, "lzw": 5, "deflate": 8}[compression]]),
             (TAG_PHOTOMETRIC, _T_SHORT, 1, [1]),
             (TAG_SAMPLES, _T_SHORT, 1, [n_bands]),
             # planar (separate band planes) for multi-band: tile data
@@ -302,8 +423,13 @@ def _read_ifd(raw: bytes, ifd: int):
     if n_bands > 1 and planar != 2:
         raise ValueError("multi-band reads support PlanarConfiguration=2 only")
     comp = tags.get(TAG_COMPRESSION, [1])[0]
-    if comp not in (1, 8):
+    if comp not in (1, 5, 8):
         raise ValueError(f"unsupported TIFF compression {comp}")
+    predictor = tags.get(TAG_PREDICTOR, [1])[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if predictor == 2 and not np.issubdtype(npdt, np.integer):
+        raise ValueError("horizontal-differencing predictor is integer-only")
     import zlib
 
     full = np.zeros((n_bands, n_ty * th, n_tx * tw), dtype=npdt)
@@ -312,7 +438,18 @@ def _read_ifd(raw: bytes, ifd: int):
         buf = raw[off : off + cnt_b]
         if comp == 8:
             buf = zlib.decompress(buf)
+        elif comp == 5:
+            buf = lzw_decompress(buf)
         tile = np.frombuffer(buf, dtype=npdt).reshape(th, tw)
+        if predictor == 2:
+            # undo horizontal differencing: rows accumulate left to
+            # right with wraparound in the sample dtype (TIFF §14)
+            bits_mask = (1 << bits) - 1
+            acc = np.cumsum(
+                tile.astype(np.int64) & bits_mask, axis=1
+            ) & bits_mask
+            utile = acc.astype({16: np.uint16, 32: np.uint32}[bits])
+            tile = utile.view(npdt) if npdt().nbytes * 8 == bits else utile.astype(npdt)
         band, rem = divmod(idx, per_band)
         ty, tx = divmod(rem, n_tx)
         full[band, ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = tile

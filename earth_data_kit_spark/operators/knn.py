@@ -226,22 +226,22 @@ def knn_join(
 
     try:
         while auto_grow and ring < max_ring:
-            # ONE aggregate job per iteration: per-query candidate
-            # count and k-th distance, LEFT-joined back to the query
-            # table (zero-candidate queries must surface as starved),
-            # the needed ring as a Column, one MAX scalar collected.
-            wk = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc())
-            stats = (
-                _cand(ring)
-                .withColumn("dist_m", dist)
-                .withColumn("rn", F.row_number().over(wk))
-                .groupBy("query_id")
-                .agg(
-                    F.count("*").alias("n"),
-                    F.min(F.when(F.col("rn") == k, F.col("dist_m"))).alias("dk"),
-                )
+            # ONE job per iteration: per-query candidate count (plain
+            # hash agg — map-side partial, no skew) and k-th distance
+            # (via the two-level bucketed top-k, NOT a bare window
+            # over all candidates, which would funnel a dense cell's
+            # millions of rows into one partition), LEFT-joined back
+            # to the query table (zero-candidate queries must surface
+            # as starved), the needed ring as a Column, one MAX
+            # scalar collected.
+            scored0 = _cand(ring).withColumn("dist_m", dist)
+            n_df = scored0.groupBy("query_id").agg(F.count("*").alias("n"))
+            dk_df = (
+                _topk(scored0.select("query_id", id_col, "dist_m"), k, id_col)
+                .where(F.col("rank") == k)
+                .select("query_id", F.col("dist_m").alias("dk"))
             )
-            full = qdf.join(stats, "query_id", "left")
+            full = qdf.join(n_df, "query_id", "left").join(dk_df, "query_id", "left")
             # ≥k candidates → smallest ring in [ring, max_ring] whose
             # safe radius covers dk (first satisfying element of the
             # ring sequence — exact parity with a linear scan);

@@ -211,8 +211,6 @@ def knn_join_s2(
     stored-leaf tables (zero Python on the POINTS side at query
     time); engine-parity is pytest-pinned (tests/test_s2.py).
     """
-    from pyspark.sql import Window
-
     from earth_data_kit_spark.functions.columns import haversine_m_col
     from earth_data_kit_spark.operators.knn import _topk, queries_df
 
@@ -233,18 +231,17 @@ def knn_join_s2(
 
     try:
         while auto_grow and ring < max_ring:
-            wk = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc())
-            stats = (
-                _cand(ring)
-                .withColumn("dist_m", dist)
-                .withColumn("rn", F.row_number().over(wk))
-                .groupBy("query_id")
-                .agg(
-                    F.count("*").alias("n"),
-                    F.min(F.when(F.col("rn") == k, F.col("dist_m"))).alias("dk"),
-                )
+            # skew-safe probe (mirrors knn.knn_join): hash-agg count +
+            # two-level bucketed top-k for the k-th distance — never a
+            # bare per-query window over every candidate
+            scored0 = _cand(ring).withColumn("dist_m", dist)
+            n_df = scored0.groupBy("query_id").agg(F.count("*").alias("n"))
+            dk_df = (
+                _topk(scored0.select("query_id", id_col, "dist_m"), k, id_col)
+                .where(F.col("rank") == k)
+                .select("query_id", F.col("dist_m").alias("dk"))
             )
-            full = qdf.join(stats, "query_id", "left")
+            full = qdf.join(n_df, "query_id", "left").join(dk_df, "query_id", "left")
             # ≥k candidates → first ring in (ring, ring+2, …, max_ring)
             # whose guaranteed radius covers dk; starved (dk null,
             # incl. zero-candidate queries) → double.

@@ -398,14 +398,39 @@ def _q_geo_pyramid(spark, sf_dir):
 
 
 def _q_geo_knn(spark, sf_dir):
+    """kNN through BOTH API forms in one gated row (folded to stay
+    inside the driver's 50-query cap, like the round-2 salted fold):
+
+    * ``src='values'`` — the fixed query batch (list API → broadcast
+      ring join, auto-grow);
+    * ``src='table'`` — TABLE-to-table kNN (VERDICT r4 task 1): the
+      query side is a DataFrame derived from the pages table itself
+      (every ~11th page), rings generated in-plan
+      (operators/knn.py ``query_cells``), candidate join shuffled on
+      cell (``broadcast_queries=False`` — the at-scale shape for
+      query tables too big to broadcast).
+
+    Oracle: DuckDB brute-force kNN over each query set, union'd with
+    the same tag."""
     from earth_data_kit_spark.operators.knn import knn_join
 
     pages = _pages(spark, sf_dir)
-    out = knn_join(
+    a = knn_join(
         pages, KNN_QUERIES, k=5, res=5, ring=2, id_col="page_id",
         auto_grow=True, max_ring=64,
+    ).withColumn("src", F.lit("values"))
+    q = pages.where(F.col("page_id") % 11 == 3).select(
+        F.col("page_id").alias("query_id"),
+        F.col("lat").alias("qlat"),
+        F.col("lon").alias("qlon"),
     )
+    b = knn_join(
+        pages, q, k=3, res=5, ring=2, id_col="page_id",
+        auto_grow=True, max_ring=64, broadcast_queries=False,
+    ).withColumn("src", F.lit("table"))
+    out = a.unionByName(b)
     return out.select(
+        "src",
         "query_id",
         F.col("rank").cast("bigint").alias("rank"),
         "page_id",
@@ -422,32 +447,6 @@ def _q_geo_radius_join(spark, sf_dir):
     out = radius_join(pages, KNN_QUERIES, radius_m=300_000.0, res=6)
     return out.select("query_id", "page_id", F.round("dist_m", 2).alias("dist_m"))
 
-
-def _q_geo_knn_table(spark, sf_dir):
-    """TABLE-to-table kNN (VERDICT r4 task 1): the query side is a
-    DataFrame derived from the pages table itself (every ~11th page),
-    rings generated in-plan (operators/knn.py query_cells), candidate
-    join shuffled on cell (broadcast_queries=False — the at-scale
-    shape for query tables too big to broadcast).  Oracle: DuckDB
-    brute-force kNN over the same derived query table."""
-    from earth_data_kit_spark.operators.knn import knn_join
-
-    pages = _pages(spark, sf_dir)
-    q = pages.where(F.col("page_id") % 11 == 3).select(
-        F.col("page_id").alias("query_id"),
-        F.col("lat").alias("qlat"),
-        F.col("lon").alias("qlon"),
-    )
-    out = knn_join(
-        pages, q, k=3, res=5, ring=2, id_col="page_id",
-        auto_grow=True, max_ring=64, broadcast_queries=False,
-    )
-    return out.select(
-        "query_id",
-        F.col("rank").cast("bigint").alias("rank"),
-        "page_id",
-        F.round("dist_m", 2).alias("dist_m"),
-    )
 
 
 def _q_geo_tile_assign(spark, sf_dir):
@@ -1345,7 +1344,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_pip_antimeridian": _q_geo_pip_antimeridian,
         "geo_pyramid": _q_geo_pyramid,
         "geo_knn": _q_geo_knn,
-        "geo_knn_table": _q_geo_knn_table,
         "geo_radius_join": _q_geo_radius_join,
         "geo_tile_assign": _q_geo_tile_assign,
         "geo_clip_window": _q_geo_clip_window,
@@ -1402,6 +1400,7 @@ def oracle_sql() -> dict[str, str]:
     )
     knn_values = ", ".join(f"({qid}, {lat!r}, {lon!r})" for qid, lat, lon in KNN_QUERIES)
     hav = haversine_m_sql("q.qlat", "q.qlon", "p.lat", "p.lon")
+    hav_t = hav
     return {
         "geo_cell_counts": f"""
 WITH pages AS ({pages})
@@ -1475,9 +1474,25 @@ ranked AS (
   SELECT query_id, page_id, dist_m,
          row_number() OVER (PARTITION BY query_id ORDER BY dist_m ASC, page_id ASC) AS rank
   FROM d
+),
+qt AS (
+  SELECT page_id AS query_id, lat AS qlat, lon AS qlon
+  FROM pages WHERE page_id % 11 = 3
+),
+dt AS (
+  SELECT q.query_id, p.page_id, {hav_t} AS dist_m
+  FROM pages p CROSS JOIN qt q
+),
+ranked_t AS (
+  SELECT query_id, page_id, dist_m,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist_m ASC, page_id ASC) AS rank
+  FROM dt
 )
-SELECT query_id, CAST(rank AS BIGINT) AS rank, page_id, round(dist_m, 2) AS dist_m
+SELECT 'values' AS src, query_id, CAST(rank AS BIGINT) AS rank, page_id, round(dist_m, 2) AS dist_m
 FROM ranked WHERE rank <= 5
+UNION ALL
+SELECT 'table' AS src, query_id, CAST(rank AS BIGINT) AS rank, page_id, round(dist_m, 2) AS dist_m
+FROM ranked_t WHERE rank <= 3
 """,
         "geo_radius_join": f"""
 WITH pages AS ({pages}),
@@ -1486,24 +1501,7 @@ SELECT q.query_id, p.page_id, round({hav}, 2) AS dist_m
 FROM pages p CROSS JOIN q
 WHERE {hav} <= 300000.0
 """,
-        "geo_knn_table": f"""
-WITH pages AS ({pages}),
-q AS (
-  SELECT page_id AS query_id, lat AS qlat, lon AS qlon
-  FROM pages WHERE page_id % 11 = 3
-),
-d AS (
-  SELECT q.query_id, p.page_id, {hav} AS dist_m
-  FROM pages p CROSS JOIN q
-),
-ranked AS (
-  SELECT query_id, page_id, dist_m,
-         row_number() OVER (PARTITION BY query_id ORDER BY dist_m ASC, page_id ASC) AS rank
-  FROM d
-)
-SELECT query_id, CAST(rank AS BIGINT) AS rank, page_id, round(dist_m, 2) AS dist_m
-FROM ranked WHERE rank <= 3
-""",
+
         "geo_tile_assign": f"""
 WITH {_MODIS_TILES_CTE},
 ext AS (

@@ -215,9 +215,17 @@ def main() -> None:
         # that a long-lived job amortizes.  Cross-QUERY isolation
         # comes from the fresh-JVM orchestrator, not from anything
         # here.
-        if name not in no_warmup:
-            for _ in range(warmup):
-                fn()  # discarded: codegen compile + C2 JIT ramp
+        if name not in no_warmup and warmup:
+            t0 = time.time()
+            fn()  # discarded: codegen compile + C2 JIT ramp
+            d0 = time.time() - t0
+            # sub-2s queries are JIT-dominated: one execution leaves
+            # tpch_q1 at 0.50 s where five land 0.39 s (≈ the r3
+            # warm-JVM 0.35); the extra executions cost < 2 s each.
+            # Long queries amortize JIT in one pass — no deep warm-up.
+            extra = 4 if d0 < 2.0 else warmup - 1
+            for _ in range(extra):
+                fn()
         best, out = None, None
         for _ in range(max(runs, min_runs.get(name, 1))):
             t0 = time.time()

@@ -9,10 +9,13 @@ cloud-optimized property: a reader learns the complete tile index
 from the first few KB), tag arrays next, then the tile payload in
 row-major tile order.  Single- or multi-band (PlanarConfiguration=2,
 band-major tile planes — the reference's one-file-many-bands shape),
-uncompressed or per-tile DEFLATE (Adobe compression 8, zlib streams —
-stdlib) — the sink that proves the engine's block layout
-(operators/cog.py) drives a byte-exact raster file; only JPEG/LZW
-tiles stay behind the marked seam below.
+uncompressed, per-tile DEFLATE (Adobe compression 8, zlib streams —
+stdlib), TIFF-LZW (compression 5, §13 early-change variant), or
+JPEG (compression 7, TIFF Technote 2 "new-style": each tile is a
+complete baseline JPEG interchange stream from operators/jpeg.py —
+uint8 only, lossy) — the sink that proves the engine's block layout
+(operators/cog.py) drives a byte-exact raster file with no codec
+seams left.
 
 ``read_gtiff`` is the test oracle's independent half: it follows the
 spec's tag semantics (not this writer's internals) to reconstruct
@@ -162,6 +165,8 @@ def lzw_decompress(data: bytes) -> bytes:
     return bytes(out)
 
 _DTYPES = {
+    "uint8": (8, 1, np.uint8),
+    "int8": (8, 2, np.int8),
     "int16": (16, 2, np.int16),
     "uint16": (16, 1, np.uint16),
     "int32": (32, 2, np.int32),
@@ -185,6 +190,7 @@ def write_gtiff(
     compression: str | None = None,
     n_bands: int = 1,
     overviews: list[dict] | None = None,
+    jpeg_quality: int = 90,
 ) -> dict:
     """Write a tiled GeoTIFF.  Single band: ``tiles[(tx, ty)]`` is
     the (tile_h, tile_w) array for tile column tx / row ty.
@@ -199,11 +205,22 @@ def write_gtiff(
 
     ``gt`` is the GDAL geotransform; north-up only (rotation terms
     must be 0) since GeoTIFF's PixelScale+Tiepoint encoding cannot
-    express rotation."""
-    if compression not in (None, "deflate", "lzw"):
-        raise NotImplementedError(
-            f"unsupported compression {compression!r}: DEFLATE (zlib) and "
-            "TIFF-LZW are implemented; JPEG-in-TIFF needs an external codec"
+    express rotation.
+
+    ``compression='jpeg'`` (uint8 only) stores each tile as a
+    complete baseline JPEG interchange stream at ``jpeg_quality``
+    (Annex K tables, IJG scaling) — LOSSY: roundtrips reconstruct
+    within codec error, not byte-exactly, so nodata semantics are
+    approximate under JPEG (as with any JPEG-compressed GeoTIFF)."""
+    if compression not in (None, "deflate", "lzw", "jpeg"):
+        raise ValueError(
+            f"unsupported compression {compression!r}: "
+            "None, 'deflate', 'lzw', or 'jpeg'"
+        )
+    if compression == "jpeg" and dtype != "uint8":
+        raise ValueError(
+            f"JPEG-in-TIFF is 8-bit baseline only (dtype {dtype!r}); "
+            "use dtype='uint8' or a lossless compression"
         )
     if gt[2] != 0.0 or gt[4] != 0.0:
         raise ValueError("rotated geotransforms cannot be encoded in GeoTIFF")
@@ -235,6 +252,14 @@ def write_gtiff(
                     if a is not None:
                         a = np.asarray(a, dtype=npdt)
                         full[: a.shape[0], : a.shape[1]] = a
+                    if compression == "jpeg":
+                        # Technote 2 new-style JPEG: the tile payload
+                        # is a complete grayscale baseline interchange
+                        # stream (planar tiles are single-component)
+                        from earth_data_kit_spark.operators.jpeg import encode_jpeg
+
+                        out.append(encode_jpeg(full, quality=jpeg_quality))
+                        continue
                     raw = full.tobytes()  # native little-endian
                     if compression == "deflate":
                         out.append(zlib.compress(raw, 6))
@@ -260,10 +285,10 @@ def write_gtiff(
             (TAG_WIDTH, _T_LONG, 1, [img["width"]]),
             (TAG_LENGTH, _T_LONG, 1, [img["height"]]),
             (TAG_BITS, _T_SHORT, n_bands, [bits] * n_bands),
-            # 1 = none, 8 = Adobe DEFLATE (zlib streams per tile)
-            # 1 = none, 5 = TIFF-LZW, 8 = Adobe DEFLATE
+            # 1 = none, 5 = TIFF-LZW, 7 = JPEG (Technote 2),
+            # 8 = Adobe DEFLATE (zlib streams per tile)
             (TAG_COMPRESSION, _T_SHORT, 1,
-             [{None: 1, "lzw": 5, "deflate": 8}[compression]]),
+             [{None: 1, "lzw": 5, "jpeg": 7, "deflate": 8}[compression]]),
             (TAG_PHOTOMETRIC, _T_SHORT, 1, [1]),
             (TAG_SAMPLES, _T_SHORT, 1, [n_bands]),
             # planar (separate band planes) for multi-band: tile data
@@ -413,6 +438,7 @@ def _read_ifd(raw: bytes, ifd: int):
     bits = tags[TAG_BITS][0]
     fmt = tags.get(TAG_SAMPLE_FORMAT, [1])[0]
     npdt = {
+        (8, 1): np.uint8, (8, 2): np.int8,
         (16, 1): np.uint16, (16, 2): np.int16, (32, 1): np.uint32,
         (32, 2): np.int32, (32, 3): np.float32, (64, 3): np.float64,
     }[(bits, fmt)]
@@ -423,7 +449,7 @@ def _read_ifd(raw: bytes, ifd: int):
     if n_bands > 1 and planar != 2:
         raise ValueError("multi-band reads support PlanarConfiguration=2 only")
     comp = tags.get(TAG_COMPRESSION, [1])[0]
-    if comp not in (1, 5, 8):
+    if comp not in (1, 5, 7, 8):
         raise ValueError(f"unsupported TIFF compression {comp}")
     predictor = tags.get(TAG_PREDICTOR, [1])[0]
     if predictor not in (1, 2):
@@ -436,11 +462,22 @@ def _read_ifd(raw: bytes, ifd: int):
     per_band = n_tx * n_ty
     for idx, (off, cnt_b) in enumerate(zip(tags[TAG_TILE_OFFSETS], tags[TAG_TILE_BYTES])):
         buf = raw[off : off + cnt_b]
-        if comp == 8:
-            buf = zlib.decompress(buf)
-        elif comp == 5:
-            buf = lzw_decompress(buf)
-        tile = np.frombuffer(buf, dtype=npdt).reshape(th, tw)
+        if comp == 7:
+            # new-style JPEG: the tile IS a complete interchange
+            # stream; decode then trust the SOF dims == tile dims
+            from earth_data_kit_spark.operators.jpeg import decode_jpeg
+
+            tile = decode_jpeg(buf).astype(npdt)
+            if tile.shape != (th, tw):
+                raise ValueError(
+                    f"JPEG tile dims {tile.shape} != tile grid ({th},{tw})"
+                )
+        else:
+            if comp == 8:
+                buf = zlib.decompress(buf)
+            elif comp == 5:
+                buf = lzw_decompress(buf)
+            tile = np.frombuffer(buf, dtype=npdt).reshape(th, tw)
         if predictor == 2:
             # undo horizontal differencing: rows accumulate left to
             # right with wraparound in the sample dtype (TIFF §14)
@@ -448,7 +485,7 @@ def _read_ifd(raw: bytes, ifd: int):
             acc = np.cumsum(
                 tile.astype(np.int64) & bits_mask, axis=1
             ) & bits_mask
-            utile = acc.astype({16: np.uint16, 32: np.uint32}[bits])
+            utile = acc.astype({8: np.uint8, 16: np.uint16, 32: np.uint32}[bits])
             tile = utile.view(npdt) if npdt().nbytes * 8 == bits else utile.astype(npdt)
         band, rem = divmod(idx, per_band)
         ty, tx = divmod(rem, n_tx)
@@ -484,7 +521,8 @@ def export_cog(blocks, path: str, width: int, height: int, tile: int = 256,
                gt: tuple = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
                nodata: float | None = None,
                compression: str | None = None,
-               overviews: int = 0) -> dict:
+               overviews: int = 0,
+               jpeg_quality: int = 90) -> dict:
     """Blocks table (the standard block schema, operators/blocks.py)
     → physical COG file.  Stored payload values are written VERBATIM
     (a COG export preserves the on-disk dtype/nodata and stamps the
@@ -570,7 +608,7 @@ def export_cog(blocks, path: str, width: int, height: int, tile: int = 256,
     info = write_gtiff(
         path, tiles, width, height, tile, tile, dtype=dtype, gt=gt, nodata=nodata,
         compression=compression, n_bands=len(bands) if has_band else 1,
-        overviews=ov_images,
+        overviews=ov_images, jpeg_quality=jpeg_quality,
     )
     info["bands"] = bands if has_band else []
     return info

@@ -1,12 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode step is REAL for container-friendly codecs — binary PPM
-(P6) images, raw little-endian int16 PCM audio, raw packed RGB video
-frames — all parsed with numpy only.  Compressed codecs (JPEG/PNG/
-Opus/H.264) need external libraries absent from this container; those
-paths raise a clearly-marked NotImplementedError behind the same
-``decode_image`` seam a production decoder drops into.
+The decode step is REAL for every image format a synthetic corpus
+carries — binary PPM (P6), PNG (own zlib-inflate + Paeth unfilter),
+and baseline-sequential JPEG (own Huffman+IDCT, operators/jpeg.py) —
+plus raw little-endian int16 PCM audio and raw packed RGB video
+frames, all numpy/stdlib only.  Audio/video COMPRESSED codecs
+(Opus/H.264) still need external libraries absent from this
+container; ``decode_image`` is the seam a production decoder drops
+into for anything else.
 
 Reference analog: the blocked raster read pipeline (SURVEY.md §2.8
 R1-R4, /root/reference/earth_data_kit/xarray_boosted/entrypoint.py:

@@ -79,9 +79,13 @@ def test_deflate_tiles_roundtrip_and_shrink(tmp_path):
 
 
 def test_unsupported_compression_and_rotation_raise(tmp_path):
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="unsupported compression"):
         gtiff.write_gtiff(str(tmp_path / "j.tif"), {}, 10, 10, 128, 128,
-                          compression="jpeg")
+                          compression="webp")
+    # JPEG is implemented but is 8-bit baseline only
+    with pytest.raises(ValueError, match="8-bit"):
+        gtiff.write_gtiff(str(tmp_path / "j16.tif"), {}, 10, 10, 128, 128,
+                          dtype="int16", compression="jpeg")
     with pytest.raises(ValueError):
         gtiff.write_gtiff(str(tmp_path / "d.tif"), {}, 10, 10, 128, 128,
                           gt=(0, 1, 0.5, 0, 0.5, -1))
@@ -410,3 +414,81 @@ def test_gtiff_reader_undoes_horizontal_predictor(tmp_path):
     got, tags = read_gtiff(p)
     assert tags[TAG_PREDICTOR] == [2]
     assert np.array_equal(got, a)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0 ** 2 / mse) if mse else np.inf
+
+
+def test_gtiff_jpeg_tiles_roundtrip(tmp_path):
+    """Compression=7 (TIFF Technote 2 new-style JPEG): each tile is a
+    complete baseline interchange stream from operators/jpeg.py.
+    Lossy — so the oracle is a PSNR bound, not byte equality; the
+    structural tags stay exact."""
+    h, w, t = 256, 512, 256  # exact tile multiples: no pad-step ringing
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (128 + 100 * np.sin(xx / 37.0) * np.cos(yy / 23.0)).astype(np.uint8)
+    tiles = {(tx, 0): img[:, tx * t : (tx + 1) * t] for tx in range(2)}
+    pj = str(tmp_path / "j.tif")
+    pu = str(tmp_path / "u.tif")
+    gtiff.write_gtiff(pj, tiles, w, h, t, t, dtype="uint8", compression="jpeg")
+    gtiff.write_gtiff(pu, tiles, w, h, t, t, dtype="uint8")
+    got, tags = gtiff.read_gtiff(pj)
+    assert tags[gtiff.TAG_COMPRESSION] == [7]
+    assert got.dtype == np.uint8 and got.shape == (h, w)
+    assert _psnr(got, img) > 35.0
+    import os
+
+    assert os.path.getsize(pj) < os.path.getsize(pu) / 3  # it actually compresses
+    # uint8 lossless path stays byte-exact (new dtype support)
+    pd_ = str(tmp_path / "d.tif")
+    gtiff.write_gtiff(pd_, tiles, w, h, t, t, dtype="uint8", compression="deflate")
+    exact, _ = gtiff.read_gtiff(pd_)
+    assert np.array_equal(exact, img)
+
+
+def test_gtiff_jpeg_quality_knob_and_edge_tiles(tmp_path):
+    """Lower quality → smaller file, lower PSNR; edge tiles (padded
+    with fill before DCT) still clip back to the requested dims, with
+    ringing confined to the pad boundary."""
+    h = w = 300  # not a multiple of 256: one edge tile each way
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (120 + 90 * np.cos((xx + yy) / 41.0)).astype(np.uint8)
+    t = 256
+    tiles = {}
+    for ty in range(2):
+        for tx in range(2):
+            blk = img[ty * t : (ty + 1) * t, tx * t : (tx + 1) * t]
+            if blk.size:
+                tiles[(tx, ty)] = blk
+    p90 = str(tmp_path / "q90.tif")
+    p30 = str(tmp_path / "q30.tif")
+    gtiff.write_gtiff(p90, tiles, w, h, t, t, dtype="uint8", compression="jpeg",
+                      jpeg_quality=90)
+    gtiff.write_gtiff(p30, tiles, w, h, t, t, dtype="uint8", compression="jpeg",
+                      jpeg_quality=30)
+    a90, _ = gtiff.read_gtiff(p90)
+    a30, _ = gtiff.read_gtiff(p30)
+    assert a90.shape == a30.shape == (h, w)
+    import os
+
+    assert os.path.getsize(p30) < os.path.getsize(p90)
+    # interior (8px in from the pad boundary) is clean at both qualities
+    assert _psnr(a90[:292, :292], img[:292, :292]) > 35.0
+    assert _psnr(a90, img) > _psnr(a30, img) > 25.0
+
+
+def test_gtiff_jpeg_multiband_planar(tmp_path):
+    """PlanarConfiguration=2 + JPEG: every tile is a single-component
+    (grayscale) stream regardless of band count."""
+    t = 128
+    rngy, rngx = np.mgrid[0:t, 0:t]
+    b0 = (100 + 80 * np.sin(rngx / 19.0)).astype(np.uint8)
+    b1 = (140 + 60 * np.cos(rngy / 13.0)).astype(np.uint8)
+    p = str(tmp_path / "mb.tif")
+    gtiff.write_gtiff(p, {(0, 0, 0): b0, (1, 0, 0): b1}, t, t, t, t,
+                      dtype="uint8", compression="jpeg", n_bands=2)
+    arr, tags = gtiff.read_gtiff(p)
+    assert arr.shape == (2, t, t) and tags[gtiff.TAG_COMPRESSION] == [7]
+    assert _psnr(arr[0], b0) > 35.0 and _psnr(arr[1], b1) > 35.0

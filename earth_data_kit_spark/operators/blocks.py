@@ -191,14 +191,35 @@ def block_mean(blocks: DataFrame) -> DataFrame:
     )
 
 
+def _interp_indices(n_dst: int, n_src: int, method: str):
+    """Dst-pixel-center sample positions in src space and the src
+    index window a method needs: (positions, base_idx, hi_extra).
+    linear: floor clipped to n_src-2, samples base..base+1;
+    nearest: rint clipped to n_src-1, samples base only."""
+    pos = (np.arange(n_dst) + 0.5) * (n_src / n_dst) - 0.5
+    if method == "nearest":
+        return pos, np.clip(np.rint(pos).astype(int), 0, n_src - 1), 0
+    return pos, np.clip(np.floor(pos).astype(int), 0, max(0, n_src - 2)), 1
+
+
+def _check_method(method: str) -> None:
+    if method not in ("linear", "nearest"):
+        raise NotImplementedError(
+            f"interpolation method {method!r} ('linear' and 'nearest' only)"
+        )
+
+
 def regrid_bilinear(
     blocks: DataFrame,
     src_size: tuple[int, int],
     dst_size: tuple[int, int],
+    method: str = "linear",
 ) -> DataFrame:
-    """J4/R9: grid-align a (small-per-group) raster onto a new grid by
-    bilinear interpolation — ``groupBy(tile, band).applyInPandas``:
-    each group assembles its blocks, interpolates in numpy, re-blocks.
+    """J4/R9: grid-align a (small-per-group) raster onto a new grid —
+    ``groupBy(tile, band).applyInPandas``: each group assembles its
+    blocks, interpolates in numpy, re-blocks.  ``method`` is
+    'linear' (bilinear, the reference default) or 'nearest' (nearest
+    source pixel center — exact passthrough of categorical rasters).
 
     Scale note: per-group assembly bounds group size to one tile
     (2400² × 4 B ≈ 23 MB — executor-safe).  Cross-tile regrids at
@@ -207,6 +228,7 @@ def regrid_bilinear(
     more shuffle; this entry point covers the reference's per-tile
     warp semantics (dataset.py:516-541).
     """
+    _check_method(method)
     sw, sh = src_size
     dw, dh = dst_size
 
@@ -223,18 +245,19 @@ def regrid_bilinear(
                 int(row["yoff"]) : int(row["yoff"]) + int(row["ysize"]),
                 int(row["xoff"]) : int(row["xoff"]) + int(row["xsize"]),
             ] = arr * scale + offset
-        # bilinear sample at dst pixel centers mapped into src space
-        ys = (np.arange(dh) + 0.5) * (sh / dh) - 0.5
-        xs = (np.arange(dw) + 0.5) * (sw / dw) - 0.5
-        y0 = np.clip(np.floor(ys).astype(int), 0, sh - 2)
-        x0 = np.clip(np.floor(xs).astype(int), 0, sw - 2)
-        wy = (ys - y0)[:, None]
-        wx = (xs - x0)[None, :]
-        a = full[y0][:, x0]
-        b = full[y0][:, x0 + 1]
-        c = full[y0 + 1][:, x0]
-        d = full[y0 + 1][:, x0 + 1]
-        out = a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx + c * wy * (1 - wx) + d * wy * wx
+        # sample at dst pixel centers mapped into src space
+        ys, y0, _ = _interp_indices(dh, sh, method)
+        xs, x0, _ = _interp_indices(dw, sw, method)
+        if method == "nearest":
+            out = full[y0][:, x0]
+        else:
+            wy = (ys - y0)[:, None]
+            wx = (xs - x0)[None, :]
+            a = full[y0][:, x0]
+            b = full[y0][:, x0 + 1]
+            c = full[y0 + 1][:, x0]
+            d = full[y0 + 1][:, x0 + 1]
+            out = a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx + c * wy * (1 - wx) + d * wy * wx
         return pd.DataFrame(
             {
                 "tile_name": [key[0]],
@@ -267,10 +290,10 @@ def combine_blocks(
     coordinate reassigned.
 
     ``method`` mirrors the reference's contract: a single string or a
-    per-input list (only 'linear' — bilinear — is implemented, the
-    reference's default); a length mismatch raises, like the
-    reference.  The reference passes through unresampled: the
-    identity bilinear (src grid == dst grid) is exact — pixel centers
+    per-input list — 'linear' (bilinear, the reference's default) or
+    'nearest'; a length mismatch raises, like the reference.  The
+    reference passes through unresampled: the identity regrid (src
+    grid == dst grid) is exact under either method — pixel centers
     map onto themselves — so one code path serves all bands."""
     if method is None:
         method = ["linear"] * len(others)
@@ -282,14 +305,17 @@ def combine_blocks(
     else:
         raise TypeError("method must be a string or a list/tuple of strings.")
     for m in method:
-        if m != "linear":
-            raise NotImplementedError(f"interpolation method {m!r} (only 'linear')")
+        _check_method(m)
     if len(others) != len(src_sizes):
         raise ValueError("src_sizes must match others")
 
+    # the reference regrids only the non-reference inputs; the ref
+    # band itself is the identity regrid (exact under either method)
+    methods = ["linear"] + list(method)
     stacked = []
     for i, (bl, size) in enumerate([(ref, ref_size)] + list(zip(others, src_sizes))):
-        rg = regrid_bilinear_blocks(bl, size, ref_size, dst_block, out_dtype)
+        rg = regrid_bilinear_blocks(bl, size, ref_size, dst_block, out_dtype,
+                                    method=methods[i])
         stacked.append(rg.withColumn("band", F.lit(str(i + 1))))
     out = stacked[0]
     for s in stacked[1:]:
@@ -303,6 +329,7 @@ def regrid_bilinear_blocks(
     dst_size: tuple[int, int],
     dst_block: int = 256,
     out_dtype: str = "float32",
+    method: str = "linear",
 ) -> DataFrame:
     """J4 at mosaic scale: cross-tile bilinear regrid via HALO
     EXCHANGE (reference ``Dataset.combine``/grid-align semantics,
@@ -327,7 +354,11 @@ def regrid_bilinear_blocks(
 
     ``out_dtype='float64'`` keeps full precision (used by the
     oracle-paired driver query); float32 is the raster-convention
-    default at scale."""
+    default at scale.  ``method='nearest'`` samples the nearest src
+    pixel center instead (the halo Column math is unchanged — the
+    nearest footprint is a subset of the bilinear one, and unneeded
+    halo blocks drop in the group step)."""
+    _check_method(method)
     sw, sh = src_size
     dw, dh = dst_size
     sxf, syf = sw / dw, sh / dh
@@ -362,10 +393,16 @@ def regrid_bilinear_blocks(
         y0_px, y1_px = by * bpx, min(dh, by * bpx + bpx) - 1
         xs = (np.arange(x0_px, x1_px + 1) + 0.5) * sxf - 0.5
         ys = (np.arange(y0_px, y1_px + 1) + 0.5) * syf - 0.5
-        xf = np.clip(np.floor(xs).astype(int), 0, sw - 2)
-        yf = np.clip(np.floor(ys).astype(int), 0, sh - 2)
-        sx_lo, sx_hi = int(xf.min()), int(xf.max()) + 1
-        sy_lo, sy_hi = int(yf.min()), int(yf.max()) + 1
+        if method == "nearest":
+            xf = np.clip(np.rint(xs).astype(int), 0, sw - 1)
+            yf = np.clip(np.rint(ys).astype(int), 0, sh - 1)
+            extra = 0
+        else:
+            xf = np.clip(np.floor(xs).astype(int), 0, sw - 2)
+            yf = np.clip(np.floor(ys).astype(int), 0, sh - 2)
+            extra = 1
+        sx_lo, sx_hi = int(xf.min()), int(xf.max()) + extra
+        sy_lo, sy_hi = int(yf.min()), int(yf.max()) + extra
         local = np.full((sy_hi - sy_lo + 1, sx_hi - sx_lo + 1), np.nan, dtype=np.float64)
         scale = pdf.iloc[0]["scale"]
         offset = pdf.iloc[0]["offset"]
@@ -385,13 +422,16 @@ def regrid_bilinear_blocks(
             )
         y0 = yf - sy_lo
         x0 = xf - sx_lo
-        wy = (ys - yf)[:, None]
-        wx = (xs - xf)[None, :]
-        a = local[y0][:, x0]
-        b = local[y0][:, x0 + 1]
-        c = local[y0 + 1][:, x0]
-        d = local[y0 + 1][:, x0 + 1]
-        out = a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx + c * wy * (1 - wx) + d * wy * wx
+        if method == "nearest":
+            out = local[y0][:, x0]
+        else:
+            wy = (ys - yf)[:, None]
+            wx = (xs - xf)[None, :]
+            a = local[y0][:, x0]
+            b = local[y0][:, x0 + 1]
+            c = local[y0 + 1][:, x0]
+            d = local[y0 + 1][:, x0 + 1]
+            out = a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx + c * wy * (1 - wx) + d * wy * wx
         return pd.DataFrame(
             {
                 "band": [band],

@@ -173,3 +173,81 @@ def test_regrid_halo_exchange_matches_oracle(spark, dst):
     both_nan = np.isnan(got) & np.isnan(exp)
     assert (both_nan | np.isclose(got, exp, rtol=1e-6)).all()
     assert np.isnan(exp).any() and not np.isnan(exp).all()
+
+
+def _nearest_oracle(full, sw, sh, dw, dh):
+    ys = (np.arange(dh) + 0.5) * (sh / dh) - 0.5
+    xs = (np.arange(dw) + 0.5) * (sw / dw) - 0.5
+    yi = np.clip(np.rint(ys).astype(int), 0, sh - 1)
+    xi = np.clip(np.rint(xs).astype(int), 0, sw - 1)
+    return full[yi][:, xi]
+
+
+def test_regrid_nearest_matches_oracle_and_identity(spark):
+    """method='nearest': nearest src pixel center — categorical-safe
+    (every output value IS a source value, no blending), identity
+    regrid exact."""
+    bl = B.synth_blocks_df(spark, 64, 64, 32, nodata=-1.0, scale=1.0)
+    out = B.regrid_bilinear(bl, (64, 64), (48, 48), method="nearest").collect()
+    got = np.array(out[0]["values"], dtype=np.float32).reshape(48, 48)
+
+    xg, yg = np.meshgrid(np.arange(64), np.arange(64))
+    full = ((xg * 31 + yg * 17) % 30000).astype(np.float64)
+    full[yg % 97 == 0] = np.nan
+    exp = _nearest_oracle(full, 64, 64, 48, 48).astype(np.float32)
+    both_nan = np.isnan(got) & np.isnan(exp)
+    assert (both_nan | (got == exp)).all()
+    assert np.isin(got[~np.isnan(got)], full[~np.isnan(full)]).all()
+
+    ident = B.regrid_bilinear(bl, (64, 64), (64, 64), method="nearest").collect()
+    gid = np.array(ident[0]["values"], dtype=np.float32).reshape(64, 64)
+    bn = np.isnan(gid) & np.isnan(full)
+    assert (bn | (gid == full.astype(np.float32))).all()
+
+    with pytest.raises(NotImplementedError, match="cubic"):
+        B.regrid_bilinear(bl, (64, 64), (32, 32), method="cubic")
+
+
+@pytest.mark.parametrize("dst", [(96, 64), (256, 320)])  # down- and up-sample
+def test_regrid_halo_nearest_matches_oracle(spark, dst):
+    """Halo-exchange nearest: same numpy oracle, cross-tile mosaic,
+    no group assembles the full raster (mirrors the bilinear twin)."""
+    sw = sh = 128
+    dw, dh = dst
+    bl = B.synth_blocks_df(spark, sw, sh, 32, nodata=-1.0, scale=1.0)
+    out = B.regrid_bilinear_blocks(
+        bl, (sw, sh), (dw, dh), dst_block=48, method="nearest"
+    ).collect()
+    got = np.full((dh, dw), np.nan, dtype=np.float64)
+    for r in out:
+        a = np.array(r["values"], dtype=np.float32).reshape(r.ysize, r.xsize)
+        got[r.yoff : r.yoff + r.ysize, r.xoff : r.xoff + r.xsize] = a
+    xg, yg = np.meshgrid(np.arange(sw), np.arange(sh))
+    full = ((xg * 31 + yg * 17) % 30000).astype(np.float64)
+    full[yg % 97 == 0] = np.nan
+    exp = _nearest_oracle(full, sw, sh, dw, dh)
+    both_nan = np.isnan(got) & np.isnan(exp)
+    assert (both_nan | (got == exp.astype(np.float32))).all()
+    assert np.isnan(exp).any() and not np.isnan(exp).all()
+
+
+def test_combine_blocks_per_input_nearest(spark):
+    """Dataset.combine with a per-input method list: the 'nearest'
+    band carries only source values (no blended pixels)."""
+    ref = B.synth_blocks_df(spark, 64, 64, 32, nodata=-1.0, scale=1.0, band="REF")
+    other = B.synth_blocks_df(spark, 128, 128, 32, nodata=-1.0, scale=1.0, band="B2")
+    out = B.combine_blocks(
+        ref, [other], (64, 64), [(128, 128)], method=["nearest"], dst_block=64
+    ).collect()
+    band2 = np.full((64, 64), np.nan, np.float32)
+    for r in out:
+        if r.band != "2":
+            continue
+        a = np.array(r["values"], dtype=np.float32).reshape(r.ysize, r.xsize)
+        band2[r.yoff : r.yoff + r.ysize, r.xoff : r.xoff + r.xsize] = a
+    xg2, yg2 = np.meshgrid(np.arange(128), np.arange(128))
+    full2 = ((xg2 * 31 + yg2 * 17) % 30000).astype(np.float64)
+    full2[yg2 % 97 == 0] = np.nan
+    exp2 = _nearest_oracle(full2, 128, 128, 64, 64).astype(np.float32)
+    nan2 = np.isnan(band2) & np.isnan(exp2)
+    assert (nan2 | (band2 == exp2)).all()

@@ -418,7 +418,9 @@ def read_gtiff_ifds(path: str) -> list[tuple]:
     return out
 
 
-def _read_ifd(raw: bytes, ifd: int):
+def _parse_ifd(raw: bytes, ifd: int):
+    """Tags + next-IFD offset only — the metadata a COG reader can
+    resolve from the header bytes without touching tile data."""
     (n,) = struct.unpack_from("<H", raw, ifd)
     tags = {}
     _SZ = {_T_SHORT: ("H", 2), _T_LONG: ("I", 4), _T_DOUBLE: ("d", 8), _T_ASCII: ("c", 1)}
@@ -433,8 +435,12 @@ def _read_ifd(raw: bytes, ifd: int):
             tags[tag] = src
         else:
             tags[tag] = list(struct.unpack("<" + code * cnt, src))
-    width, height = tags[TAG_WIDTH][0], tags[TAG_LENGTH][0]
-    tw, th = tags[TAG_TILE_W][0], tags[TAG_TILE_H][0]
+    (next_ifd,) = struct.unpack_from("<I", raw, ifd + 2 + 12 * n)
+    return tags, next_ifd
+
+
+def _tile_params(tags):
+    """Decode parameters shared by full and windowed reads."""
     bits = tags[TAG_BITS][0]
     fmt = tags.get(TAG_SAMPLE_FORMAT, [1])[0]
     npdt = {
@@ -442,12 +448,6 @@ def _read_ifd(raw: bytes, ifd: int):
         (16, 1): np.uint16, (16, 2): np.int16, (32, 1): np.uint32,
         (32, 2): np.int32, (32, 3): np.float32, (64, 3): np.float64,
     }[(bits, fmt)]
-    n_tx = -(-width // tw)
-    n_ty = -(-height // th)
-    n_bands = tags.get(TAG_SAMPLES, [1])[0]
-    planar = tags.get(TAG_PLANAR, [1])[0]
-    if n_bands > 1 and planar != 2:
-        raise ValueError("multi-band reads support PlanarConfiguration=2 only")
     comp = tags.get(TAG_COMPRESSION, [1])[0]
     if comp not in (1, 5, 7, 8):
         raise ValueError(f"unsupported TIFF compression {comp}")
@@ -456,44 +456,120 @@ def _read_ifd(raw: bytes, ifd: int):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
     if predictor == 2 and not np.issubdtype(npdt, np.integer):
         raise ValueError("horizontal-differencing predictor is integer-only")
+    return npdt, comp, predictor, bits
+
+
+def _decode_tile(raw: bytes, tags, idx: int, npdt, comp, predictor, bits):
+    """One tile by flat index (band-major then row-major) → (th, tw)
+    array.  This is the COG unit of IO: a range read of exactly
+    [offset, offset+bytecount)."""
     import zlib
+
+    th, tw = tags[TAG_TILE_H][0], tags[TAG_TILE_W][0]
+    off = tags[TAG_TILE_OFFSETS][idx]
+    cnt_b = tags[TAG_TILE_BYTES][idx]
+    buf = raw[off : off + cnt_b]
+    if comp == 7:
+        # new-style JPEG: the tile IS a complete interchange stream
+        from earth_data_kit_spark.operators.jpeg import decode_jpeg
+
+        tile = decode_jpeg(buf).astype(npdt)
+        if tile.shape != (th, tw):
+            raise ValueError(
+                f"JPEG tile dims {tile.shape} != tile grid ({th},{tw})"
+            )
+    else:
+        if comp == 8:
+            buf = zlib.decompress(buf)
+        elif comp == 5:
+            buf = lzw_decompress(buf)
+        tile = np.frombuffer(buf, dtype=npdt).reshape(th, tw)
+    if predictor == 2:
+        # undo horizontal differencing: rows accumulate left to
+        # right with wraparound in the sample dtype (TIFF §14)
+        bits_mask = (1 << bits) - 1
+        acc = np.cumsum(tile.astype(np.int64) & bits_mask, axis=1) & bits_mask
+        utile = acc.astype({8: np.uint8, 16: np.uint16, 32: np.uint32}[bits])
+        tile = utile.view(npdt) if npdt().nbytes * 8 == bits else utile.astype(npdt)
+    return tile
+
+
+def _read_ifd(raw: bytes, ifd: int):
+    tags, next_ifd = _parse_ifd(raw, ifd)
+    width, height = tags[TAG_WIDTH][0], tags[TAG_LENGTH][0]
+    tw, th = tags[TAG_TILE_W][0], tags[TAG_TILE_H][0]
+    n_tx = -(-width // tw)
+    n_ty = -(-height // th)
+    n_bands = tags.get(TAG_SAMPLES, [1])[0]
+    planar = tags.get(TAG_PLANAR, [1])[0]
+    if n_bands > 1 and planar != 2:
+        raise ValueError("multi-band reads support PlanarConfiguration=2 only")
+    npdt, comp, predictor, bits = _tile_params(tags)
 
     full = np.zeros((n_bands, n_ty * th, n_tx * tw), dtype=npdt)
     per_band = n_tx * n_ty
-    for idx, (off, cnt_b) in enumerate(zip(tags[TAG_TILE_OFFSETS], tags[TAG_TILE_BYTES])):
-        buf = raw[off : off + cnt_b]
-        if comp == 7:
-            # new-style JPEG: the tile IS a complete interchange
-            # stream; decode then trust the SOF dims == tile dims
-            from earth_data_kit_spark.operators.jpeg import decode_jpeg
-
-            tile = decode_jpeg(buf).astype(npdt)
-            if tile.shape != (th, tw):
-                raise ValueError(
-                    f"JPEG tile dims {tile.shape} != tile grid ({th},{tw})"
-                )
-        else:
-            if comp == 8:
-                buf = zlib.decompress(buf)
-            elif comp == 5:
-                buf = lzw_decompress(buf)
-            tile = np.frombuffer(buf, dtype=npdt).reshape(th, tw)
-        if predictor == 2:
-            # undo horizontal differencing: rows accumulate left to
-            # right with wraparound in the sample dtype (TIFF §14)
-            bits_mask = (1 << bits) - 1
-            acc = np.cumsum(
-                tile.astype(np.int64) & bits_mask, axis=1
-            ) & bits_mask
-            utile = acc.astype({8: np.uint8, 16: np.uint16, 32: np.uint32}[bits])
-            tile = utile.view(npdt) if npdt().nbytes * 8 == bits else utile.astype(npdt)
+    for idx in range(len(tags[TAG_TILE_OFFSETS])):
+        tile = _decode_tile(raw, tags, idx, npdt, comp, predictor, bits)
         band, rem = divmod(idx, per_band)
         ty, tx = divmod(rem, n_tx)
         full[band, ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = tile
     clipped = full[:, :height, :width]
-    (next_ifd,) = struct.unpack_from("<I", raw, ifd + 2 + 12 * n)
     # single band returns 2D for backward-compatible callers
     return (clipped[0] if n_bands == 1 else clipped), tags, next_ifd
+
+
+def read_gtiff_window(
+    path: str, xoff: int, yoff: int, xsize: int, ysize: int, level: int = 0
+) -> np.ndarray:
+    """The COG read path this layout exists FOR: resolve the tile
+    index from the header-resident IFD chain, then decode ONLY the
+    tiles intersecting the requested window — every other tile's
+    bytes are never touched (over HTTP this is the ranged-GET
+    pattern; here the untouched bytes are simply never sliced).
+    ``level`` selects an overview IFD (0 = full resolution); the
+    window is expressed in THAT level's pixel space.  Returns
+    (ysize, xsize) for single-band files, (bands, ysize, xsize) for
+    planar multi-band.  Out-of-range windows raise."""
+    raw = open(path, "rb").read()
+    order, magic, ifd = struct.unpack_from("<2sHI", raw, 0)
+    assert order == b"II" and magic == 42, "not a little-endian TIFF"
+    for _ in range(level):
+        _, ifd = _parse_ifd(raw, ifd)
+        if not ifd:
+            raise ValueError(f"overview level {level} beyond IFD chain")
+    tags, _ = _parse_ifd(raw, ifd)
+    width, height = tags[TAG_WIDTH][0], tags[TAG_LENGTH][0]
+    if xoff < 0 or yoff < 0 or xoff + xsize > width or yoff + ysize > height:
+        raise ValueError(
+            f"window ({xoff},{yoff},{xsize},{ysize}) outside {width}x{height}"
+        )
+    tw, th = tags[TAG_TILE_W][0], tags[TAG_TILE_H][0]
+    n_tx = -(-width // tw)
+    n_ty = -(-height // th)
+    n_bands = tags.get(TAG_SAMPLES, [1])[0]
+    planar = tags.get(TAG_PLANAR, [1])[0]
+    if n_bands > 1 and planar != 2:
+        raise ValueError("multi-band reads support PlanarConfiguration=2 only")
+    npdt, comp, predictor, bits = _tile_params(tags)
+
+    tx0, tx1 = xoff // tw, (xoff + xsize - 1) // tw
+    ty0, ty1 = yoff // th, (yoff + ysize - 1) // th
+    out = np.zeros((n_bands, ysize, xsize), dtype=npdt)
+    per_band = n_tx * n_ty
+    for band in range(n_bands):
+        for ty in range(ty0, ty1 + 1):
+            for tx in range(tx0, tx1 + 1):
+                tile = _decode_tile(
+                    raw, tags, band * per_band + ty * n_tx + tx,
+                    npdt, comp, predictor, bits,
+                )
+                # overlap of this tile with the window, in both frames
+                gx0, gx1 = max(xoff, tx * tw), min(xoff + xsize, tx * tw + tw)
+                gy0, gy1 = max(yoff, ty * th), min(yoff + ysize, ty * th + th)
+                out[band, gy0 - yoff : gy1 - yoff, gx0 - xoff : gx1 - xoff] = tile[
+                    gy0 - ty * th : gy1 - ty * th, gx0 - tx * tw : gx1 - tx * tw
+                ]
+    return out[0] if n_bands == 1 else out
 
 
 def downsample_2x2_mean(a: np.ndarray) -> np.ndarray:

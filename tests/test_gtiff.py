@@ -492,3 +492,57 @@ def test_gtiff_jpeg_multiband_planar(tmp_path):
     arr, tags = gtiff.read_gtiff(p)
     assert arr.shape == (2, t, t) and tags[gtiff.TAG_COMPRESSION] == [7]
     assert _psnr(arr[0], b0) > 35.0 and _psnr(arr[1], b1) > 35.0
+
+
+def test_read_gtiff_window_matches_full_read(tmp_path):
+    """The COG range-read: only intersecting tiles decode; result ==
+    the full read's slice for every compression and across tile
+    boundaries."""
+    rng = np.random.default_rng(11)
+    w, h, t = 300, 260, 128
+    full = rng.integers(-2000, 2000, size=(h, w), dtype=np.int16)
+    tiles = {}
+    for ty in range(-(-h // t)):
+        for tx in range(-(-w // t)):
+            tiles[(tx, ty)] = full[ty * t : (ty + 1) * t, tx * t : (tx + 1) * t]
+    for comp in (None, "deflate", "lzw"):
+        p = str(tmp_path / f"w_{comp}.tif")
+        gtiff.write_gtiff(p, tiles, w, h, t, t, dtype="int16", compression=comp)
+        whole, _ = gtiff.read_gtiff(p)
+        for win in ((0, 0, 50, 40), (100, 100, 100, 100), (250, 200, 50, 60), (0, 0, w, h)):
+            xo, yo, xs, ys = win
+            got = gtiff.read_gtiff_window(p, xo, yo, xs, ys)
+            assert got.shape == (ys, xs)
+            assert np.array_equal(got, whole[yo : yo + ys, xo : xo + xs])
+    with pytest.raises(ValueError, match="outside"):
+        gtiff.read_gtiff_window(p, 290, 0, 20, 10)
+
+
+def test_read_gtiff_window_multiband_and_overview(tmp_path):
+    """Planar multi-band windows return (bands, ys, xs); level=1
+    windows read from the overview IFD in overview pixel space."""
+    from earth_data_kit_spark.operators.blocks import synth_blocks_df
+
+    t = 64
+    b0 = np.arange(t * t, dtype=np.int16).reshape(t, t)
+    b1 = (b0 * 2).astype(np.int16)
+    p = str(tmp_path / "mb.tif")
+    gtiff.write_gtiff(p, {(0, 0, 0): b0, (1, 0, 0): b1}, t, t, t, t,
+                      dtype="int16", n_bands=2)
+    win = gtiff.read_gtiff_window(p, 10, 20, 30, 25)
+    assert win.shape == (2, 25, 30)
+    assert np.array_equal(win[0], b0[20:45, 10:40])
+    assert np.array_equal(win[1], b1[20:45, 10:40])
+
+    # overview level: 256x256 with one factor-2 overview
+    full = np.arange(256 * 256, dtype=np.int16).reshape(256, 256) % 3000
+    ov = gtiff.downsample_2x2_mean(full)
+    ovt = {(0, 0): ov[:128, :128]}
+    p2 = str(tmp_path / "ov.tif")
+    gtiff.write_gtiff(p2, {(0, 0): full[:256, :256]}, 256, 256, 256, 256,
+                      dtype="int16",
+                      overviews=[{"tiles": ovt, "width": 128, "height": 128}])
+    lv1 = gtiff.read_gtiff_window(p2, 5, 7, 40, 30, level=1)
+    assert np.array_equal(lv1, ov[7:37, 5:45])
+    with pytest.raises(ValueError, match="beyond IFD chain"):
+        gtiff.read_gtiff_window(p2, 0, 0, 4, 4, level=2)

@@ -235,15 +235,30 @@ class Dataset:
         tile: int = 256,
         gt: tuple = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
         compression: str | None = None,
+        overviews: int = 0,
+        jpeg_quality: int = 90,
     ) -> dict:
         """Physical COG write (reference edk_accessor.py:131-183 via
-        GDAL; here the spec-built tiled GeoTIFF sink, optionally
-        per-tile DEFLATE).  Single-writer fan-in per output file."""
+        GDAL; here the spec-built tiled GeoTIFF sink: per-tile
+        DEFLATE/LZW/JPEG, factor-2 overview IFDs).  Single-writer
+        fan-in per output file."""
         from earth_data_kit_spark.operators.gtiff import export_cog as _export
 
         return _export(
-            blocks, path, width, height, tile=tile, gt=gt, compression=compression
+            blocks, path, width, height, tile=tile, gt=gt, compression=compression,
+            overviews=overviews, jpeg_quality=jpeg_quality,
         )
+
+    def read_cog_window(
+        self, path: str, xoff: int, yoff: int, xsize: int, ysize: int,
+        level: int = 0,
+    ):
+        """Windowed COG read: decode only the tiles intersecting the
+        window (ranged-GET access pattern); ``level`` selects an
+        overview IFD."""
+        from earth_data_kit_spark.operators.gtiff import read_gtiff_window
+
+        return read_gtiff_window(path, xoff, yoff, xsize, ysize, level=level)
 
     def plot(self, labeled_array, to_html_path: str | None = None, **kw):
         """Reference ``da.edk.plot()`` / folium overlay analog: one

@@ -140,13 +140,21 @@ def test_facade_labeled_array_export_cog_and_plot(spark, tmp_path):
         bands=["B1"], gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0), x_size=128, y_size=128,
     )
     pt = la.sel(x=5.0, y=2.0)
-    assert float(pt) == float((5 * 31 + 2 * 17) % 30000)
+    # .item(): sel keeps int-key x/y axes (reference asymmetry), so
+    # the scalar extraction must not rely on deprecated ndim>0 float()
+    assert pt.item() == float((5 * 31 + 2 * 17) % 30000)
 
     p = str(tmp_path / "o.tif")
-    ds.export_cog(blocks, p, 128, 128, tile=64, compression="deflate")
+    ds.export_cog(blocks, p, 128, 128, tile=64, compression="deflate", overviews=1)
     arr, tags = gtiff.read_gtiff(p)
     assert tags[gtiff.TAG_COMPRESSION] == [8]  # deflate reached the sink
     assert arr[2, 5] == (5 * 31 + 2 * 17) % 30000
+    # windowed read + overview level through the same facade
+    win = ds.read_cog_window(p, 4, 1, 10, 8)
+    assert win.shape == (8, 10) and win[1, 1] == arr[2, 5]
+    lv1 = ds.read_cog_window(p, 0, 0, 64, 64, level=1)
+    assert lv1.shape == (64, 64)
+    assert lv1[1, 2] == gtiff.downsample_2x2_mean(arr)[1, 2]
 
     png = ds.plot(la, to_html_path=str(tmp_path / "m.html"))
     assert png[:8] == b"\x89PNG\r\n\x1a\n"

@@ -127,7 +127,7 @@ def test_gtiff_roundtrip_property():
         w=st.integers(1, 300),
         h=st.integers(1, 300),
         t=st.sampled_from([16, 128]),
-        dtype=st.sampled_from(["int16", "uint16", "int32", "float32"]),
+        dtype=st.sampled_from(["uint8", "int16", "uint16", "int32", "float32"]),
         comp=st.sampled_from([None, "deflate", "lzw"]),
         seed=st.integers(0, 2**31 - 1),
     )
@@ -135,7 +135,7 @@ def test_gtiff_roundtrip_property():
         import tempfile
 
         rng = np.random.default_rng(seed)
-        npdt = {"int16": np.int16, "uint16": np.uint16,
+        npdt = {"uint8": np.uint8, "int16": np.int16, "uint16": np.uint16,
                 "int32": np.int32, "float32": np.float32}[dtype]
         if dtype == "float32":
             full = rng.normal(size=(h, w)).astype(np.float32)

@@ -249,6 +249,22 @@ class Dataset:
             overviews=overviews, jpeg_quality=jpeg_quality,
         )
 
+    def scan_cog(
+        self,
+        spark: SparkSession,
+        path: str,
+        level: int = 0,
+        window: tuple[int, int, int, int] | None = None,
+    ) -> DataFrame:
+        """COG → distributed blocks DataFrame (the inverse of
+        ``export_cog``): driver parses only the header-resident tile
+        index, Catalyst prunes tiles on the metadata window, and a
+        map-only Arrow stage decodes the survivors into the standard
+        blocks schema for the block operators."""
+        from earth_data_kit_spark.sources.cog import cog_scan
+
+        return cog_scan(spark, path, level=level, window=window)
+
     def read_cog_window(
         self, path: str, xoff: int, yoff: int, xsize: int, ysize: int,
         level: int = 0,

@@ -513,35 +513,49 @@ def _q_geo_regrid_block_means(spark, sf_dir):
     )
 
 
-def _q_geo_cog_layout(spark, sf_dir):
-    """COG export template + block-write layout for the 2-tile MODIS
-    mosaic (2400×4800, 2 bands): chunk 2400 → block size 2432 (×128
-    ceil), geotransform recovered from pixel-center coordinates,
-    write blocks stepped by the chunk with edge clamping — the
-    reference's _create_template_cog/_write_data_to_cog numbers
-    (edk_accessor.py:35-111,131-183) as a DataFrame."""
-    from earth_data_kit_spark.operators.cog import cog_block_layout, cog_template
+def _q_geo_cog_roundtrip(spark, sf_dir):
+    """Physical COG write → distributed scan roundtrip: a
+    deterministic 300×300 int16 blocks table (value (x*31+y*17)%30000)
+    is exported as a DEFLATE-tiled COG (operators/gtiff.export_cog),
+    read back through the metadata-index + Arrow-decode source
+    (sources/cog.py), and checksummed per tile.  The DuckDB oracle
+    recomputes every block's pixel count and value sum from the
+    closed form — so compression, tiling, edge-tile clipping, and the
+    decode path are all value-checked, not just the layout math
+    (which stays golden-pinned in tests/test_cog.py)."""
+    import os
+    import tempfile
 
-    w, h, nb, chunk = 2400, 4800, 2, 2400
-    x_first = MODIS_X0 + 0.5 * MODIS_RES
-    x_last = MODIS_X0 + (w - 0.5) * MODIS_RES
-    y_first = MODIS_Y0 + 0.5 * MODIS_RES_Y
-    y_last = MODIS_Y0 + (h - 0.5) * MODIS_RES_Y
-    t = cog_template(w, h, nb, chunk, chunk, x_first, x_last, y_first, y_last)
-    gt = t["geotransform"]
-    layout = cog_block_layout(spark, w, h, nb, chunk, chunk)
-    return layout.select(
-        F.col("band_idx").cast("bigint").alias("band_idx"),
-        F.col("xoff").cast("bigint").alias("xoff"),
-        F.col("yoff").cast("bigint").alias("yoff"),
-        F.col("xsize").cast("bigint").alias("xsize"),
-        F.col("ysize").cast("bigint").alias("ysize"),
-        F.lit(t["block_x"]).cast("bigint").alias("block_x"),
-        F.lit(t["block_y"]).cast("bigint").alias("block_y"),
-        F.round(F.lit(gt[0]), 4).alias("origin_x"),
-        F.round(F.lit(gt[3]), 4).alias("origin_y"),
-        F.round(F.lit(gt[1]), 6).alias("x_res"),
-        F.round(F.lit(gt[5]), 6).alias("y_res"),
+    import numpy as np
+    import pandas as pd
+
+    from earth_data_kit_spark.operators.blocks import synth_blocks_df
+    from earth_data_kit_spark.operators.gtiff import export_cog
+    from earth_data_kit_spark.sources.cog import cog_scan
+
+    w = h = 300
+    blocks = synth_blocks_df(spark, w, h, 128, band="B1", scale=1.0,
+                             nodata_stripe=False)
+    path = os.path.join(tempfile.mkdtemp(prefix="edk_cog_rt_"), "rt.tif")
+    export_cog(blocks, path, w, h, tile=128, compression="deflate")
+
+    def sums(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                a = (
+                    np.frombuffer(r["payload"], np.dtype(r["dtype"]))
+                    .reshape(r["ysize"], r["xsize"])
+                    .astype(np.int64)
+                )
+                rows.append(
+                    {"block_x": int(r["block_x"]), "block_y": int(r["block_y"]),
+                     "n_px": int(a.size), "sum_v": int(a.sum())}
+                )
+            yield pd.DataFrame(rows)
+
+    return cog_scan(spark, path).mapInPandas(
+        sums, "block_x bigint, block_y bigint, n_px bigint, sum_v bigint"
     )
 
 
@@ -1324,8 +1338,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     geo_grid_expand), txt_stats (overlaps txt_quality/txt_vocab),
     rel_semi_join (exists/semi covered by rel_q4_priority_exists),
     rel_q10_returned_items (join+agg+topk covered by rel_q3/rel_q18),
-    and geo_pip_rows (same rows now flow through the REAL S2 engine
-    as geo_pip_s2; the quadgrid row path stays pytest-gated).
+    geo_pip_rows (same rows now flow through the REAL S2 engine
+    as geo_pip_s2; the quadgrid row path stays pytest-gated), and
+    geo_cog_layout (r5: the template/layout golden math stays pinned
+    in tests/test_cog.py; its driver slot upgraded to
+    geo_cog_roundtrip, which value-checks the PHYSICAL COG
+    write→distributed-scan path against a closed-form oracle).
     """
     return {
         # previously-unrecorded components first (ANN / embedding /
@@ -1348,7 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tile_assign": _q_geo_tile_assign,
         "geo_clip_window": _q_geo_clip_window,
         "geo_regrid_block_means": _q_geo_regrid_block_means,
-        "geo_cog_layout": _q_geo_cog_layout,
+        "geo_cog_roundtrip": _q_geo_cog_roundtrip,
         "geo_time_buckets": _q_geo_time_buckets,
         "geo_grid_expand": _q_geo_grid_expand,
         "geo_stac_scan": _q_geo_stac_scan,
@@ -1586,34 +1604,12 @@ v AS (
 SELECT 'B1' AS band, dst_bx, dst_by, count(*) AS n_px, round(avg(val), 4) AS mean_v
 FROM v GROUP BY 2, 3
 """,
-        "geo_cog_layout": f"""
-WITH consts AS (
-  SELECT
-    {_d(MODIS_X0)} + 5e-1 * {_d(MODIS_RES)} AS x_first,
-    {_d(MODIS_X0)} + (2400 - 5e-1) * {_d(MODIS_RES)} AS x_last,
-    {_d(MODIS_Y0)} + 5e-1 * {_d(MODIS_RES_Y)} AS y_first,
-    {_d(MODIS_Y0)} + (4800 - 5e-1) * {_d(MODIS_RES_Y)} AS y_last
-),
-gt AS (
-  SELECT (x_last - x_first) / (2400 - 1) AS x_res,
-         (y_last - y_first) / (4800 - 1) AS y_res,
-         x_first, y_first
-  FROM consts
-),
-layout AS (
-  SELECT b.b AS band_idx, 0 AS xoff, y.yoff,
-         least(2400, 2400 - 0) AS xsize,
-         least(2400, 4800 - y.yoff) AS ysize
-  FROM range(2) b(b), generate_series(0, 4799, 2400) y(yoff)
-)
-SELECT CAST(band_idx AS BIGINT) AS band_idx, CAST(xoff AS BIGINT) AS xoff,
-  CAST(yoff AS BIGINT) AS yoff, CAST(xsize AS BIGINT) AS xsize,
-  CAST(ysize AS BIGINT) AS ysize,
-  CAST(2432 AS BIGINT) AS block_x, CAST(2432 AS BIGINT) AS block_y,
-  round(x_first - x_res / 2, 4) AS origin_x,
-  round(y_first - y_res / 2, 4) AS origin_y,
-  round(x_res, 6) AS x_res, round(y_res, 6) AS y_res
-FROM layout CROSS JOIN gt
+        "geo_cog_roundtrip": """
+SELECT xs.x // 128 AS block_x, ys.y // 128 AS block_y,
+       count(*) AS n_px,
+       CAST(sum((xs.x * 31 + ys.y * 17) % 30000) AS BIGINT) AS sum_v
+FROM generate_series(0, 299) xs(x), generate_series(0, 299) ys(y)
+GROUP BY 1, 2
 """,
         "geo_time_buckets": """
 SELECT

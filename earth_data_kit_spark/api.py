@@ -249,6 +249,14 @@ class Dataset:
             overviews=overviews, jpeg_quality=jpeg_quality,
         )
 
+    def zonal_stats(self, blocks: DataFrame, polygons, gt: tuple) -> DataFrame:
+        """Per-polygon raster statistics (raster↔vector): broadcast
+        bbox prefilter → Arrow partial per intersecting block →
+        native final agg.  ``polygons``: list of spatial_join.Polygon."""
+        from earth_data_kit_spark.operators.zonal import zonal_stats as _zs
+
+        return _zs(blocks, polygons, gt)
+
     def scan_cog(
         self,
         spark: SparkSession,

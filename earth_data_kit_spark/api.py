@@ -249,6 +249,17 @@ class Dataset:
             overviews=overviews, jpeg_quality=jpeg_quality,
         )
 
+    def rasterize(
+        self, spark: SparkSession, polygons, gt: tuple, width: int, height: int,
+        **kw,
+    ) -> DataFrame:
+        """Vector→raster burn (GDAL RasterizeLayer semantics: pixel
+        centers, later polygons overwrite) → blocks DataFrame;
+        composes with export_cog / scan_cog / zonal_stats."""
+        from earth_data_kit_spark.operators.rasterize import rasterize as _rz
+
+        return _rz(spark, polygons, gt, width, height, **kw)
+
     def zonal_stats(self, blocks: DataFrame, polygons, gt: tuple) -> DataFrame:
         """Per-polygon raster statistics (raster↔vector): broadcast
         bbox prefilter → Arrow partial per intersecting block →

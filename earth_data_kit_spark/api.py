@@ -249,6 +249,18 @@ class Dataset:
             overviews=overviews, jpeg_quality=jpeg_quality,
         )
 
+    def focal(
+        self, blocks: DataFrame, raster_size: tuple[int, int], block: int,
+        fn: str = "mean", **kw,
+    ) -> DataFrame:
+        """Focal stats / Horn terrain derivatives (the gdaldem analog:
+        slope, aspect, hillshade, mean/min/max/range) via strip-based
+        halo exchange; output is blocks-schema, composes with every
+        sink."""
+        from earth_data_kit_spark.operators.focal import focal_map
+
+        return focal_map(blocks, raster_size, block, fn, **kw)
+
     def rasterize(
         self, spark: SparkSession, polygons, gt: tuple, width: int, height: int,
         **kw,

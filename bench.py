@@ -64,6 +64,7 @@ QUERY_ORDER = [
     "stream_dedup_jvm",
     "txt_curation",
     "txt_paragraph_dedup",
+    "raster_terrain_zonal",
 ]
 
 
@@ -651,6 +652,41 @@ def main() -> None:
             extras["paragraph_dedup_docs_per_sec"] = round(
                 n_pd / timings["txt_paragraph_dedup"], 1
             )
+
+    # q16: raster-engine composite (r5) — 8192² DEM blocks → Horn
+    # slope via strip halo exchange → per-polygon zonal stats
+    # (broadcast interval join + Arrow partials + native final agg).
+    # Times the two new raster↔vector operators end-to-end on a 67M-px
+    # mosaic; the synth build is persisted OUTSIDE the timed region.
+    if need("raster_terrain_zonal"):
+        from earth_data_kit_spark.operators.blocks import synth_blocks_df
+        from earth_data_kit_spark.operators.focal import focal_map
+        from earth_data_kit_spark.operators.spatial_join import Polygon
+        from earth_data_kit_spark.operators.zonal import zonal_stats
+
+        RW = RH = 8192
+        rgt = (0.0, 0.01, 0.0, 81.92, 0.0, -0.01)
+        rblocks = synth_blocks_df(
+            spark, RW, RH, 256, scale=1.0, nodata_stripe=False
+        ).persist()
+        rblocks.count()
+        zpolys = [
+            Polygon(f"P{i}", f"p{i}", bbox=(i * 8.0, 10.0, i * 8.0 + 7.5, 70.0))
+            for i in range(8)
+        ]
+
+        def _terrain_zonal():
+            sl = focal_map(rblocks, (RW, RH), 256, "slope", gt=rgt)
+            out = zonal_stats(sl, zpolys, rgt).collect()
+            assert len(out) == 8
+            return out
+
+        timed("raster_terrain_zonal", _terrain_zonal)
+        if "raster_terrain_zonal" in timings:
+            extras["terrain_px_per_sec"] = round(
+                RW * RH / timings["raster_terrain_zonal"], 1
+            )
+        rblocks.unpersist()
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -73,7 +73,10 @@ def synth_blocks_df(
                     v.tobytes(),
                 )
             )
-    return spark.createDataFrame(rows, BLOCK_SCHEMA).repartition(8, "block_x", "block_y")
+    # partition count follows spark.sql.shuffle.partitions (session
+    # cores) so downstream Arrow stages parallelize at every level —
+    # a hardcoded 8 capped the 32-core bench at 8 decode tasks
+    return spark.createDataFrame(rows, BLOCK_SCHEMA).repartition("block_x", "block_y")
 
 
 def window_filter(blocks: DataFrame, xoff: int, yoff: int, xsize: int, ysize: int) -> DataFrame:

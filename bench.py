@@ -365,10 +365,17 @@ def main() -> None:
         (104, 36.0, 138.0), (105, -25.0, 134.0), (106, 40.0, -3.5), (107, 54.0, -2.0),
     ]
     if need("knn"):
-        knn_path = f"/tmp/edk_bench_pages_cell9_{os.path.basename(SF_DIR)}_{PAGES_REPS}"
+        knn_path = f"/tmp/edk_bench_pages_cell9s_{os.path.basename(SF_DIR)}_{PAGES_REPS}"
         if not os.path.exists(knn_path):
+            # CELL-SORTED layout: range-partitioned + sorted within
+            # files, so parquet row-group min/max stats on `cell` let
+            # the pushed ring-cell IN-list (knn.py `_prefilter_cells`)
+            # skip row groups — the stored-index analog of clustering
+            # a 100 TB table by its spatial key.
             pages.withColumn(
                 "cell", cell_id_col(F.col("lon"), F.col("lat"), 9)
+            ).repartitionByRange(CPUS, "cell").sortWithinPartitions(
+                "cell"
             ).write.mode("overwrite").parquet(knn_path)
         pages_cell9_big = reduce(
             lambda a, b: a.union(b), [spark.read.parquet(knn_path)] * scan_mult

@@ -37,6 +37,7 @@ from earth_data_kit_spark.functions.columns import (
     cell_id_col,
     haversine_m_col,
 )
+from earth_data_kit_spark.grid import cells
 from earth_data_kit_spark.grid.cells import nx_ny
 
 _M_PER_DEG = math.pi / 180.0 * 6371000.0  # meridional meters/degree
@@ -199,6 +200,13 @@ def knn_join(
     stamped once at ingest, the pip_join_s2 stored-leaf pattern), in
     which case the scan carries zero per-query index math."""
     spark = points.sparkSession
+    # values-batch path keeps the raw list: its ring cells are
+    # driver-owned bounded data, and an IN-list predicate on the
+    # stored cell column reaches the parquet scan (PushedFilters) so
+    # a cell-sorted index layout skips whole row groups before the
+    # join — the DataFrame path computes the same cells in the plan
+    # and never touches the driver.
+    query_list = None if isinstance(queries, DataFrame) else list(queries)
     qdf = queries_df(spark, queries)
     if cell_col is None:
         pts = points.select(id_col, lon_col, lat_col).withColumn(
@@ -208,6 +216,18 @@ def knn_join(
         pts = points.select(
             id_col, lon_col, lat_col, F.col(cell_col).alias("cell")
         )
+
+    def _prefilter_cells(r: int):
+        """Exact ring-cell set for a LIST query batch (k_ring is
+        parity-tested against query_cells incl. the wrap cases);
+        None when the expansion would be large or queries are a
+        DataFrame."""
+        if query_list is None or len(query_list) * (2 * r + 1) ** 2 > 200_000:
+            return None
+        out = set()
+        for _qid, qlat, qlon in query_list:
+            out.update(cells.k_ring(cells.cell_id_single(qlon, qlat, res), r))
+        return sorted(out)
     if auto_grow:
         # the growth loop re-joins the cell-indexed points once per
         # iteration — persist the (projected) index so every probe
@@ -222,7 +242,9 @@ def knn_join(
 
     def _cand(r: int) -> DataFrame:
         rings = query_cells(qdf, res, r)
-        return pts.join(F.broadcast(rings) if broadcast_queries else rings, "cell")
+        pf = _prefilter_cells(r)
+        p = pts.where(F.col("cell").isin(pf)) if pf is not None else pts
+        return p.join(F.broadcast(rings) if broadcast_queries else rings, "cell")
 
     try:
         while auto_grow and ring < max_ring:

@@ -249,6 +249,16 @@ class Dataset:
             overviews=overviews, jpeg_quality=jpeg_quality,
         )
 
+    def regions(
+        self, blocks: DataFrame, raster_size: tuple[int, int], block: int,
+    ) -> DataFrame:
+        """Connected equal-valued regions (GDAL polygonize core):
+        per-block run CCL → boundary-strip equi-join → min-label
+        merge; one row per region (value, n_px, bbox)."""
+        from earth_data_kit_spark.operators.regions import region_label
+
+        return region_label(blocks, raster_size, block)
+
     def focal(
         self, blocks: DataFrame, raster_size: tuple[int, int], block: int,
         fn: str = "mean", **kw,

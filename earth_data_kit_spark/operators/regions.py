@@ -1,0 +1,236 @@
+"""Region labeling: distributed connected components over a raster
+(the core of GDAL ``polygonize`` — which regions exist, their value,
+size and extent — without tracing vector rings).
+
+A region is a maximal 4-connected set of equal-valued pixels.  The
+classic single-node algorithm is two-pass CCL; at mosaic scale the
+raster lives as blocks on many executors, so the engine splits it:
+
+1. **Per-block CCL** (map-only Arrow stage): run-based two-pass
+   labeling in numpy — row runs of equal value (vectorized via
+   ``np.diff``), union-find over run-to-run adjacencies between
+   consecutive rows (loops are over RUNS, not pixels).  Local labels
+   are made globally unique by block id, so no coordination is
+   needed.  The stage emits (a) one row per local region with its
+   stats (value, pixel count, bbox), and (b) the block's four
+   boundary strips as (axis, coordinate, offset, label, value) rows
+   — the ONLY pixels any other block ever needs to see.
+2. **Cross-block edges**: boundary strips of adjacent blocks meet in
+   an equi-join on the shared edge coordinate (right edge of block
+   column c joins left edge of column c+1 at the same row, same for
+   bottom/top) with value equality → a tiny (label_a, label_b) edge
+   table.  Shuffle volume is O(perimeter), not O(area).
+3. **Label merge**: ``dedup.dup_clusters`` min-label propagation
+   over the edge table (the SAME component machinery the dedup
+   pipeline uses — regions in a raster are near-dup clusters in a
+   graph), then a broadcast join remaps local stats onto final
+   region ids and a native agg combines them (sum counts, min/max
+   bbox).
+
+Output: (region bigint, value double, n_px bigint, xmin, ymin,
+xmax, ymax int) — one row per connected region.  ``background``
+pixels (nodata) form no region.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# local regions per block are numbered 0..n-1; global uniqueness via
+# block ordinal * _BLOCK_STRIDE (a 256x256 block has < 65536 runs)
+_BLOCK_STRIDE = 1 << 20
+
+
+def _label_block(arr: np.ndarray, valid: np.ndarray):
+    """Run-based two-pass 4-connected CCL.  Returns (labels int32
+    array with -1 for invalid, n_labels).  Loops are over runs."""
+    h, w = arr.shape
+    labels = np.full((h, w), -1, dtype=np.int64)
+    parent: list[int] = []
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    prev_runs: list[tuple[int, int, int, float]] = []  # (x0, x1, label, value)
+    for y in range(h):
+        row = arr[y]
+        v = valid[y]
+        # run boundaries: value change or validity change
+        if w == 1:
+            starts = np.array([0])
+        else:
+            brk = (row[1:] != row[:-1]) | (v[1:] != v[:-1])
+            starts = np.concatenate(([0], np.nonzero(brk)[0] + 1))
+        ends = np.concatenate((starts[1:], [w]))
+        runs = []
+        for x0, x1 in zip(starts, ends):
+            if not v[x0]:
+                continue
+            lab = len(parent)
+            parent.append(lab)
+            labels[y, x0:x1] = lab
+            runs.append((int(x0), int(x1), lab, row[x0]))
+        # merge with overlapping equal-valued runs of the previous row
+        i = j = 0
+        while i < len(runs) and j < len(prev_runs):
+            a0, a1, la, va = runs[i]
+            b0, b1, lb, vb = prev_runs[j]
+            if a0 < b1 and b0 < a1 and va == vb:
+                union(la, lb)
+            if a1 <= b1:
+                i += 1
+            else:
+                j += 1
+        prev_runs = runs
+    # flatten union-find → dense root ids
+    roots = np.array([find(i) for i in range(len(parent))], dtype=np.int64)
+    uniq, dense = np.unique(roots, return_inverse=True)
+    m = labels >= 0
+    labels[m] = dense[labels[m]]
+    return labels, len(uniq)
+
+
+def region_label(
+    blocks: DataFrame,
+    raster_size: tuple[int, int],
+    block: int,
+) -> DataFrame:
+    """Connected equal-valued regions of a blocks raster → one row
+    per region: (region, value, n_px, xmin, ymin, xmax, ymax).
+    Pixels equal to the block's ``nodataval`` are background."""
+    w, h = raster_size
+    n_bx = -(-w // block)
+
+    stats_schema = (
+        "kind int, label bigint, value double, n_px bigint, "
+        "xmin int, ymin int, xmax int, ymax int, "
+        "axis int, coord int, off int"
+    )
+
+    def per_block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from earth_data_kit_spark.operators.blocks import _decode
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                arr = _decode(r).astype(np.float64)
+                nod = r["nodataval"]
+                valid = np.ones(arr.shape, dtype=bool)
+                if nod is not None and not np.isnan(nod):
+                    valid = arr != nod
+                labels, n = _label_block(arr, valid)
+                bx, by = int(r["block_x"]), int(r["block_y"])
+                xo, yo = int(r["xoff"]), int(r["yoff"])
+                base = (by * n_bx + bx) * _BLOCK_STRIDE
+                m = labels >= 0
+                if not m.any():
+                    continue
+                flat = labels[m]
+                vals = arr[m]
+                ys, xs = np.nonzero(m)
+                # per-label stats via bincount / minimum.at
+                cnt = np.bincount(flat, minlength=n)
+                value = np.zeros(n)
+                value[flat] = vals  # any member's value (all equal)
+                gxmin = np.full(n, w, dtype=np.int64)
+                gxmax = np.full(n, -1, dtype=np.int64)
+                gymin = np.full(n, h, dtype=np.int64)
+                gymax = np.full(n, -1, dtype=np.int64)
+                np.minimum.at(gxmin, flat, xs + xo)
+                np.maximum.at(gxmax, flat, xs + xo)
+                np.minimum.at(gymin, flat, ys + yo)
+                np.maximum.at(gymax, flat, ys + yo)
+                for i in range(n):
+                    out.append(
+                        {"kind": 0, "label": base + i, "value": float(value[i]),
+                         "n_px": int(cnt[i]), "xmin": int(gxmin[i]),
+                         "ymin": int(gymin[i]), "xmax": int(gxmax[i]),
+                         "ymax": int(gymax[i]), "axis": 0, "coord": 0, "off": 0}
+                    )
+                # boundary strips: global edge coordinates so adjacent
+                # blocks join on equality.  axis 0 = vertical edge at
+                # x = coord (pixels x==coord-1 right side | x==coord
+                # left side), axis 1 = horizontal edge at y = coord.
+                bh, bw = arr.shape
+                for axis, side_idx, coord, offs in (
+                    (0, labels[:, bw - 1], xo + bw, yo + np.arange(bh)),  # right
+                    (0, labels[:, 0], xo, yo + np.arange(bh)),            # left
+                    (1, labels[bh - 1, :], yo + bh, xo + np.arange(bw)),  # bottom
+                    (1, labels[0, :], yo, xo + np.arange(bw)),            # top
+                ):
+                    vv = (arr[:, bw - 1] if axis == 0 and coord == xo + bw
+                          else arr[:, 0] if axis == 0
+                          else arr[bh - 1, :] if coord == yo + bh
+                          else arr[0, :])
+                    for o, lab, val in zip(offs, side_idx, vv):
+                        if lab < 0:
+                            continue
+                        out.append(
+                            {"kind": 1, "label": base + int(lab),
+                             "value": float(val), "n_px": 0,
+                             "xmin": 0, "ymin": 0, "xmax": 0, "ymax": 0,
+                             "axis": int(axis), "coord": int(coord),
+                             "off": int(o)}
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=["kind", "label", "value", "n_px", "xmin", "ymin",
+                         "xmax", "ymax", "axis", "coord", "off"],
+            )
+
+    raw = blocks.mapInPandas(per_block, schema=stats_schema).persist()
+    stats = raw.where(F.col("kind") == 0)
+    strips = raw.where(F.col("kind") == 1).select(
+        "axis", "coord", "off", "label", "value"
+    )
+
+    # adjacent blocks share the SAME edge coordinate: a right edge of
+    # one block and the left edge of the next both carry coord = the
+    # boundary x — one self-equi-join keyed by (axis, coord, off)
+    # yields exactly the cross-block pixel adjacencies.
+    a = strips.alias("a")
+    b = strips.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.axis") == F.col("b.axis"))
+            & (F.col("a.coord") == F.col("b.coord"))
+            & (F.col("a.off") == F.col("b.off"))
+            & (F.col("a.label") < F.col("b.label"))
+            & (F.col("a.value") == F.col("b.value")),
+        )
+        .select(F.col("a.label").alias("id_a"), F.col("b.label").alias("id_b"))
+        .distinct()
+    )
+
+    from earth_data_kit_spark.operators.dedup import dup_clusters
+
+    mapping = dup_clusters(pairs, id_a="id_a", id_b="id_b").withColumnRenamed(
+        "id", "label"
+    )
+    merged = (
+        stats.join(F.broadcast(mapping), "label", "left")
+        .withColumn("region", F.coalesce(F.col("cluster"), F.col("label")))
+    )
+    out = merged.groupBy("region").agg(
+        F.first("value").alias("value"),
+        F.sum("n_px").alias("n_px"),
+        F.min("xmin").alias("xmin"),
+        F.min("ymin").alias("ymin"),
+        F.max("xmax").alias("xmax"),
+        F.max("ymax").alias("ymax"),
+    )
+    return out

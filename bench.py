@@ -65,6 +65,7 @@ QUERY_ORDER = [
     "txt_curation",
     "txt_paragraph_dedup",
     "raster_terrain_zonal",
+    "raster_regions",
 ]
 
 
@@ -694,6 +695,40 @@ def main() -> None:
                 RW * RH / timings["raster_terrain_zonal"], 1
             )
         rblocks.unpersist()
+
+    # q17: distributed connected components (r5) — region labeling
+    # over a 4096² blocky pattern (~1.9k regions crossing block
+    # borders): per-block run CCL, boundary-strip merge, min-label
+    # propagation.  Pixel work map-side; shuffle = O(perimeter).
+    if need("raster_regions"):
+        import numpy as np
+
+        from earth_data_kit_spark.operators.blocks import BLOCK_SCHEMA
+        from earth_data_kit_spark.operators.regions import region_label
+
+        GW = GH = 4096
+        gb = 256
+        rows = []
+        for by in range(0, GH, gb):
+            for bx in range(0, GW, gb):
+                x, y = np.meshgrid(np.arange(bx, bx + gb), np.arange(by, by + gb))
+                v = (((x // 97) * 7 + (y // 89) * 13) % 5).astype(np.float32)
+                rows.append(("t", "B1", bx // gb, by // gb, bx, by, gb, gb,
+                             "float32", float("nan"), 1.0, 0.0, v.tobytes()))
+        rblk = spark.createDataFrame(rows, BLOCK_SCHEMA).repartition(
+            "block_x", "block_y"
+        ).persist()
+        rblk.count()
+
+        def _regions():
+            out = region_label(rblk, (GW, GH), gb).collect()
+            assert len(out) > 1000, f"unexpected region count {len(out)}"
+            return out
+
+        timed("raster_regions", _regions)
+        if "raster_regions" in timings:
+            extras["regions_px_per_sec"] = round(GW * GH / timings["raster_regions"], 1)
+        rblk.unpersist()
 
     total = round(sum(timings.values()), 3)
     result = {

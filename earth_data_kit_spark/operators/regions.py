@@ -153,43 +153,50 @@ def region_label(
                 np.maximum.at(gxmax, flat, xs + xo)
                 np.minimum.at(gymin, flat, ys + yo)
                 np.maximum.at(gymax, flat, ys + yo)
-                for i in range(n):
-                    out.append(
-                        {"kind": 0, "label": base + i, "value": float(value[i]),
-                         "n_px": int(cnt[i]), "xmin": int(gxmin[i]),
-                         "ymin": int(gymin[i]), "xmax": int(gxmax[i]),
-                         "ymax": int(gymax[i]), "axis": 0, "coord": 0, "off": 0}
-                    )
-                # boundary strips: global edge coordinates so adjacent
-                # blocks join on equality.  axis 0 = vertical edge at
-                # x = coord (pixels x==coord-1 right side | x==coord
-                # left side), axis 1 = horizontal edge at y = coord.
+                out.append(pd.DataFrame({
+                    "kind": 0, "label": base + np.arange(n, dtype=np.int64),
+                    "value": value, "n_px": cnt.astype(np.int64),
+                    "xmin": gxmin.astype(np.int32), "ymin": gymin.astype(np.int32),
+                    "xmax": gxmax.astype(np.int32), "ymax": gymax.astype(np.int32),
+                    "axis": np.int32(0), "coord": np.int32(0),
+                    "off": np.int32(0),
+                }))
+                # boundary strips, fully vectorized: global edge
+                # coordinates so adjacent blocks join on equality.
+                # axis 0 = vertical edge at x = coord, axis 1 =
+                # horizontal edge at y = coord.
                 bh, bw = arr.shape
-                for axis, side_idx, coord, offs in (
-                    (0, labels[:, bw - 1], xo + bw, yo + np.arange(bh)),  # right
-                    (0, labels[:, 0], xo, yo + np.arange(bh)),            # left
-                    (1, labels[bh - 1, :], yo + bh, xo + np.arange(bw)),  # bottom
-                    (1, labels[0, :], yo, xo + np.arange(bw)),            # top
+                for axis, side_lab, side_val, coord, offs in (
+                    (0, labels[:, bw - 1], arr[:, bw - 1], xo + bw, yo + np.arange(bh)),
+                    (0, labels[:, 0], arr[:, 0], xo, yo + np.arange(bh)),
+                    (1, labels[bh - 1, :], arr[bh - 1, :], yo + bh, xo + np.arange(bw)),
+                    (1, labels[0, :], arr[0, :], yo, xo + np.arange(bw)),
                 ):
-                    vv = (arr[:, bw - 1] if axis == 0 and coord == xo + bw
-                          else arr[:, 0] if axis == 0
-                          else arr[bh - 1, :] if coord == yo + bh
-                          else arr[0, :])
-                    for o, lab, val in zip(offs, side_idx, vv):
-                        if lab < 0:
-                            continue
-                        out.append(
-                            {"kind": 1, "label": base + int(lab),
-                             "value": float(val), "n_px": 0,
-                             "xmin": 0, "ymin": 0, "xmax": 0, "ymax": 0,
-                             "axis": int(axis), "coord": int(coord),
-                             "off": int(o)}
-                        )
-            yield pd.DataFrame(
-                out,
-                columns=["kind", "label", "value", "n_px", "xmin", "ymin",
-                         "xmax", "ymax", "axis", "coord", "off"],
-            )
+                    keep = side_lab >= 0
+                    if not keep.any():
+                        continue
+                    out.append(pd.DataFrame({
+                        "kind": 1, "label": base + side_lab[keep],
+                        "value": side_val[keep].astype(np.float64),
+                        "n_px": np.int64(0),
+                        "xmin": np.int32(0), "ymin": np.int32(0),
+                        "xmax": np.int32(0), "ymax": np.int32(0),
+                        "axis": np.int32(axis), "coord": np.int32(coord),
+                        "off": offs[keep].astype(np.int32),
+                    }))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+            else:
+                yield pd.DataFrame(
+                    {c: pd.Series(dtype=t) for c, t in (
+                        ("kind", "int32"), ("label", "int64"),
+                        ("value", "float64"), ("n_px", "int64"),
+                        ("xmin", "int32"), ("ymin", "int32"),
+                        ("xmax", "int32"), ("ymax", "int32"),
+                        ("axis", "int32"), ("coord", "int32"),
+                        ("off", "int32"),
+                    )}
+                )
 
     raw = blocks.mapInPandas(per_block, schema=stats_schema).persist()
     stats = raw.where(F.col("kind") == 0)

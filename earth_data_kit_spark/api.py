@@ -249,6 +249,17 @@ class Dataset:
             overviews=overviews, jpeg_quality=jpeg_quality,
         )
 
+    def contours(
+        self, blocks: DataFrame, raster_size: tuple[int, int], block: int,
+        levels: list[float],
+    ) -> DataFrame:
+        """Marching-squares contour segments (the gdal_contour
+        analog): one-sided 1-pixel halo, every 2x2 cell marched by
+        exactly one task; (level, x1, y1, x2, y2) in pixel coords."""
+        from earth_data_kit_spark.operators.contour import contour_segments
+
+        return contour_segments(blocks, raster_size, block, levels)
+
     def regions(
         self, blocks: DataFrame, raster_size: tuple[int, int], block: int,
     ) -> DataFrame:

@@ -1,0 +1,90 @@
+"""Contour segments (operators/contour.py).  Oracles avoid
+reimplementing marching squares: (1) BLOCKING INVARIANCE — the same
+raster contoured at block=whole-raster (one task marches everything
+locally, i.e. the unblocked reference) must equal small-block runs
+segment-for-segment, which pins the halo routing; (2) geometric
+invariants on closed forms (ramp → straight line, cone → closed
+loop of radius R)."""
+
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from earth_data_kit_spark.operators.blocks import BLOCK_SCHEMA
+from earth_data_kit_spark.operators.contour import contour_segments
+
+
+def _blocks_df(spark, arr, block):
+    rows = []
+    h, w = arr.shape
+    for by in range(0, h, block):
+        for bx in range(0, w, block):
+            sub = np.ascontiguousarray(arr[by: by + block, bx: bx + block])
+            rows.append(
+                ("t", "B1", bx // block, by // block, bx, by,
+                 sub.shape[1], sub.shape[0], "float32", float("nan"),
+                 1.0, 0.0, sub.tobytes())
+            )
+    return spark.createDataFrame(rows, BLOCK_SCHEMA)
+
+
+def _segs(spark, arr, block, levels):
+    h, w = arr.shape
+    rows = contour_segments(_blocks_df(spark, arr, block), (w, h), block, levels).collect()
+    return Counter(
+        (r["level"],) + tuple(round(v, 6) for v in (r["x1"], r["y1"], r["x2"], r["y2"]))
+        for r in rows
+    )
+
+
+def test_blocking_invariance_random_raster(spark):
+    """block=256 (single task = unblocked oracle) vs block=16 and
+    block=7 (ragged edges): identical segment multisets."""
+    rng = np.random.default_rng(11)
+    arr = rng.normal(0, 10, (60, 75)).astype(np.float32)
+    levels = [-5.0, 0.25, 7.5]
+    ref = _segs(spark, arr, 256, levels)
+    assert len(ref) > 200
+    assert _segs(spark, arr, 16, levels) == ref
+    assert _segs(spark, arr, 7, levels) == ref
+
+
+def test_linear_ramp_is_a_straight_line(spark):
+    x = np.tile(np.arange(40, dtype=np.float32), (30, 1))
+    got = _segs(spark, x, 16, [10.25])
+    assert len(got) == 29  # one vertical segment per cell row
+    for (_lv, x1, y1, x2, y2), n in got.items():
+        assert n == 1
+        assert x1 == x2 == pytest.approx(10.25)
+        assert abs(y2 - y1) == 1.0
+
+
+def test_cone_contour_is_a_closed_loop(spark):
+    h = w = 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    z = np.hypot(xx - 31.5, yy - 31.5).astype(np.float32)
+    R = 20.0
+    got = _segs(spark, z, 16, [R])
+    # every endpoint is shared by exactly two segments → closed loop
+    ends = Counter()
+    total = 0.0
+    for (_lv, x1, y1, x2, y2), n in got.items():
+        assert n == 1
+        ends[(x1, y1)] += 1
+        ends[(x2, y2)] += 1
+        total += float(np.hypot(x2 - x1, y2 - y1))
+    assert set(ends.values()) == {2}
+    assert total == pytest.approx(2 * np.pi * R, rel=0.01)
+    # endpoints sit on the level circle within a cell diagonal
+    for (ex, ey) in ends:
+        assert np.hypot(ex - 31.5, ey - 31.5) == pytest.approx(R, abs=0.75)
+
+
+def test_nodata_cells_produce_no_segments(spark):
+    x = np.tile(np.arange(40, dtype=np.float32), (30, 1))
+    x[10:12, :] = np.nan
+    got = _segs(spark, x, 16, [10.25])
+    ys = {min(y1, y2) for (_l, x1, y1, x2, y2) in got}
+    # cells anchored at rows 9, 10, 11 touch a NaN corner → absent
+    assert ys == {float(v) for v in range(30 - 1) if v not in (9, 10, 11)}

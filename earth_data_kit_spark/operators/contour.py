@@ -170,3 +170,102 @@ def contour_segments(
     return exploded.groupBy("dst_bx", "dst_by").applyInPandas(
         per_block, schema=SEG_SCHEMA
     )
+
+
+def contour_lines(segments: DataFrame, quantum: float = 1e-6) -> DataFrame:
+    """Stitch marching-squares segments into LINES: adds a
+    ``line_id`` column identifying each connected polyline (per
+    level), the gdal_contour feature-id analog.
+
+    Endpoints are exact rational crossings of the same cell edges on
+    both sides (the blocking-invariance property), so quantizing by
+    ``quantum`` keys shared endpoints identically; each segment is an
+    edge between its two endpoint keys and ``dedup.dup_clusters``
+    min-label propagation labels the connected endpoint graph — the
+    same machinery that merges regions and dup clusters.  line_id =
+    the component's minimum endpoint key: stable across partitionings
+    and blockings."""
+
+    def key(x, y, lv):
+        return F.abs(
+            F.xxhash64(
+                F.round(x / quantum).cast("bigint"),
+                F.round(y / quantum).cast("bigint"),
+                F.round(F.col(lv) / F.lit(quantum)).cast("bigint"),
+            )
+        )
+
+    segs = segments.withColumn(
+        "_ka", key(F.col("x1"), F.col("y1"), "level")
+    ).withColumn("_kb", key(F.col("x2"), F.col("y2"), "level"))
+    edges = segs.select(
+        F.col("_ka").alias("id_a"), F.col("_kb").alias("id_b")
+    ).distinct()
+
+    mapping = _cc_pointer_jump(edges)
+    out = (
+        segs.join(mapping.withColumnRenamed("node", "_ka"), "_ka", "left")
+        .withColumn("line_id", F.coalesce(F.col("cluster"), F.col("_ka")))
+        .drop("_ka", "_kb", "cluster")
+    )
+    return out
+
+
+def _cc_pointer_jump(edges: DataFrame, max_iter: int = 40) -> DataFrame:
+    """Connected components with POINTER JUMPING → (node, cluster).
+
+    ``dedup.dup_clusters``'s plain min-label propagation is
+    O(diameter) rounds — right for shallow dedup graphs, wrong for
+    polylines, whose diameter is their length (a mosaic-long
+    coastline contour would need millions of rounds).  Here each
+    round does (1) a hash-to-min step (label ← min over self and
+    neighbors' labels) and (2) a label-indirection jump
+    (label ← label[label]), which doubles the contraction distance —
+    convergence in O(log diameter) rounds, the standard
+    Spark-iterative CC shape.  Per-round localCheckpoint truncates
+    lineage exactly as in dup_clusters."""
+    sym = edges.union(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).distinct()
+    lab = (
+        sym.groupBy("id_a")
+        .agg(F.min("id_b").alias("_m"))
+        .select(
+            F.col("id_a").alias("node"),
+            F.least(F.col("id_a"), F.col("_m")).alias("cluster"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nb = sym.join(
+            lab.withColumnRenamed("node", "id_b"), "id_b"
+        ).select(F.col("id_a").alias("node"), "cluster")
+        l1 = (
+            nb.union(lab)
+            .groupBy("node")
+            .agg(F.min("cluster").alias("cluster"))
+        )
+        jump = l1.select(
+            F.col("node").alias("jnode"), F.col("cluster").alias("jcluster")
+        )
+        l2 = (
+            l1.join(jump, l1.cluster == jump.jnode, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("jcluster"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            l2.join(lab.withColumnRenamed("cluster", "_old"), "node")
+            .where(F.col("cluster") != F.col("_old"))
+            .count()
+        )
+        lab = l2
+        if changed == 0:
+            return lab
+    raise RuntimeError(
+        f"pointer-jump CC did not converge in {max_iter} rounds"
+    )

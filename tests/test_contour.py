@@ -88,3 +88,30 @@ def test_nodata_cells_produce_no_segments(spark):
     ys = {min(y1, y2) for (_l, x1, y1, x2, y2) in got}
     # cells anchored at rows 9, 10, 11 touch a NaN corner → absent
     assert ys == {float(v) for v in range(30 - 1) if v not in (9, 10, 11)}
+
+
+def test_contour_lines_stitching(spark):
+    """Two concentric circles → exactly two line_ids, each a closed
+    loop; a ramp line → one line_id."""
+    from earth_data_kit_spark.operators.contour import contour_lines
+
+    h = w = 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    z = np.hypot(xx - 31.5, yy - 31.5).astype(np.float32)
+    segs = contour_segments(_blocks_df(spark, z, 16), (w, h), 16, [12.0, 24.0])
+    lines = contour_lines(segs).collect()
+    by_line = {}
+    for r in lines:
+        by_line.setdefault((r["level"], r["line_id"]), []).append(r)
+    assert len(by_line) == 2  # one loop per level
+    for (lv, _lid), ss in by_line.items():
+        ends = Counter()
+        for r in ss:
+            ends[(round(r["x1"], 6), round(r["y1"], 6))] += 1
+            ends[(round(r["x2"], 6), round(r["y2"], 6))] += 1
+        assert set(ends.values()) == {2}  # each loop closed
+
+    ramp = np.tile(np.arange(40, dtype=np.float32), (30, 1))
+    rsegs = contour_segments(_blocks_df(spark, ramp, 16), (40, 30), 16, [10.25])
+    rlines = contour_lines(rsegs).collect()
+    assert len({r["line_id"] for r in rlines}) == 1

@@ -115,3 +115,27 @@ def test_contour_lines_stitching(spark):
     rsegs = contour_segments(_blocks_df(spark, ramp, 16), (40, 30), 16, [10.25])
     rlines = contour_lines(rsegs).collect()
     assert len({r["line_id"] for r in rlines}) == 1
+
+
+def test_cc_logarithmic_convergence(spark):
+    """Convergence property for the stitching CC: a single 10k-node
+    cycle (the adversarial shape — diameter n/2, so plain min-label
+    propagation would need ~5k rounds) labels in O(log n) rounds
+    under the large-star/small-star + compose alternation.  Node ids
+    are a random permutation so pointer chains are realistic, not
+    presorted."""
+    from earth_data_kit_spark.operators.contour import _cc_pointer_jump
+
+    n = 10_000
+    rng = np.random.default_rng(7)
+    ids = rng.permutation(n * 13)[:n].astype(np.int64).tolist()
+    edges = spark.createDataFrame(
+        [(int(ids[i]), int(ids[(i + 1) % n])) for i in range(n)],
+        "id_a long, id_b long",
+    ).repartition(8)
+    stats: dict = {}
+    lab = _cc_pointer_jump(edges, stats=stats)
+    clusters = [r["cluster"] for r in lab.select("cluster").distinct().collect()]
+    assert clusters == [min(ids)]
+    bound = int(2 * np.log2(n)) + 1  # ~27 for n=10k
+    assert stats["outer"] <= bound, stats

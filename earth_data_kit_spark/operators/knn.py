@@ -301,7 +301,15 @@ def knn_join(
     return _topk(scored, k, id_col)
 
 
-def _topk(scored: DataFrame, k: int, id_col: str, prune_buckets: int = 64) -> DataFrame:
+def _topk(
+    scored: DataFrame,
+    k: int,
+    id_col: str,
+    prune_buckets: int = 64,
+    qid_col: str = "query_id",
+    order_col: str = "dist_m",
+    descending: bool = False,
+) -> DataFrame:
     """Top-k per query as a two-level window — entirely JVM-side.
 
     A bare ``row_number() over (partition by query_id)`` shuffles
@@ -315,19 +323,20 @@ def _topk(scored: DataFrame, k: int, id_col: str, prune_buckets: int = 64) -> Da
     Arrow ``mapInPandas`` prune did the same reduction at Python
     speed and was ~15× slower on dense candidates (BENCH r2).
     """
-    order = [F.col("dist_m").asc(), F.col(id_col).asc()]
-    w1 = Window.partitionBy("query_id", "pbkt").orderBy(*order)
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    order = [oc, F.col(id_col).asc()]
+    w1 = Window.partitionBy(qid_col, "pbkt").orderBy(*order)
     pruned = (
         scored.withColumn("pbkt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(prune_buckets)))
         .withColumn("prn", F.row_number().over(w1))
         .where(F.col("prn") <= k)
         .drop("pbkt", "prn")
     )
-    w2 = Window.partitionBy("query_id").orderBy(*order)
+    w2 = Window.partitionBy(qid_col).orderBy(*order)
     return (
         pruned.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
-        .select("query_id", "rank", id_col, "dist_m")
+        .select(qid_col, "rank", id_col, order_col)
     )
 
 

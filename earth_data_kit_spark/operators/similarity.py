@@ -303,12 +303,18 @@ def ivf_query_stored(
     cand = indexed.where(F.col("list_id").isin(probed)).join(
         F.broadcast(probe_df), "list_id"
     )
-    w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        cand.withColumn("cosine", cosine_col(F.col(vec_col), F.col(qvec_col)))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(qid_col, "rank", id_col, "cosine")
+    # top-k via knn._topk's bucketed two-level window (VERDICT r5
+    # task 5): a single-level window per query funnels each query's
+    # nprobe*(corpus/nlist) candidates into ONE partition — the skew
+    # trap the kNN path already dodges.  Level 1 spreads candidates
+    # over uniform hash buckets; level 2 ranks the <= k*B survivors.
+    from earth_data_kit_spark.operators.knn import _topk
+
+    scored = cand.withColumn(
+        "cosine", cosine_col(F.col(vec_col), F.col(qvec_col))
+    ).select(qid_col, id_col, "cosine")
+    return _topk(
+        scored, k, id_col, qid_col=qid_col, order_col="cosine", descending=True
     )
 
 

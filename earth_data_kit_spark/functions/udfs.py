@@ -113,6 +113,53 @@ def pip_refine_udf(polygons: dict[str, str]):
     return _pip
 
 
+@F.pandas_udf(
+    T.StructType(
+        [
+            T.StructField("xmin", T.DoubleType()),
+            T.StructField("ymin", T.DoubleType()),
+            T.StructField("xmax", T.DoubleType()),
+            T.StructField("ymax", T.DoubleType()),
+        ]
+    )
+)
+def wkt_bbox_udf(wkt: pd.Series) -> pd.DataFrame:
+    """Bbox of a WKT POLYGON shell — the in-plan polygon-table prep
+    step of ``operators.polygons.normalize_polygons_df`` (O(polygons)
+    Arrow-batched work; geometry never touches the driver)."""
+    out = np.full((len(wkt), 4), np.nan, dtype=np.float64)
+    cache: dict[str, tuple] = {}
+    for i, w in enumerate(wkt.values):
+        if w is None or (isinstance(w, float) and np.isnan(w)):
+            continue
+        bb = cache.get(w)
+        if bb is None:
+            shell, _ = geom.parse_wkt_polygon(w)
+            bb = cache[w] = geom.polygon_bbox(shell)
+        out[i] = bb
+    return pd.DataFrame(out, columns=["xmin", "ymin", "xmax", "ymax"])
+
+
+@F.pandas_udf(T.BooleanType())
+def pip_refine_wkt_udf(lon: pd.Series, lat: pd.Series, wkt: pd.Series) -> pd.Series:
+    """Exact ray-cast refine against a CARRIED ``wkt`` column (the
+    DataFrame-polygon-side twin of ``pip_refine_udf``, whose geometry
+    rides the task closure).  Each distinct wkt in the Arrow batch is
+    parsed once and its rows refined as one vectorized call — the
+    batch-level analog of the per-code loop above.  Null wkt → False
+    (rectangles are refined by pure Columns upstream)."""
+    lons = lon.values.astype(np.float64)
+    lats = lat.values.astype(np.float64)
+    out = np.zeros(len(lons), dtype=bool)
+    w = wkt.values
+    nn = pd.notna(w)
+    for s in pd.unique(w[nn]):
+        shell, holes = geom.parse_wkt_polygon(s)
+        m = nn & (w == s)
+        out[m] = geom.point_in_polygon(lons[m], lats[m], shell, holes)
+    return pd.Series(out)
+
+
 @F.pandas_udf(T.StringType())
 def detect_lang_udf(text: pd.Series) -> pd.Series:
     return text.map(lambda t: analysis.detect_lang(t or ""))

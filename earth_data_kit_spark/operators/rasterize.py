@@ -37,9 +37,51 @@ from earth_data_kit_spark.grid import geom
 from earth_data_kit_spark.operators.spatial_join import Polygon
 
 
+def _pairs_left_df(
+    g: DataFrame, polygons: DataFrame, gt: tuple, tile_px: int
+) -> DataFrame:
+    """LEFT (block × polygon) pairs with a DATAFRAME polygon side:
+    both sides exploded onto a ``tile_px`` pixel grid in-plan and
+    equi-joined on (ptx, pty) — LEFT so untouched blocks survive to
+    burn nodata.  Requires ``burn_v``/``burn_ord`` columns on the
+    polygon table (a distributed table has no list order).  Pairs
+    sharing several tiles are deduped on (block, burn_ord); strays
+    whose exact bbox misses the block simply burn an empty mask."""
+    from earth_data_kit_spark.operators import polygons as P
+
+    norm = P.polygons_pixel_bbox(P.normalize_polygons_df(polygons), gt)
+    missing = {"burn_v", "burn_ord"} - set(norm.columns)
+    if missing:
+        raise ValueError(
+            f"DataFrame rasterize needs explicit {sorted(missing)} columns"
+        )
+    pside = P.pixel_tiles(
+        norm,
+        F.col("p_lo_x"), F.col("p_hi_x"), F.col("p_lo_y"), F.col("p_hi_y"),
+        tile_px,
+    ).select(
+        "ptx", "pty", "burn_ord", "burn_v", "wkt",
+        F.col("xmin").alias("pxmin"), F.col("ymin").alias("pymin"),
+        F.col("xmax").alias("pxmax"), F.col("ymax").alias("pymax"),
+    )
+    bside = P.pixel_tiles(
+        g,
+        F.col("xoff").cast("double"),
+        (F.col("xoff") + F.col("xsize") - 1).cast("double"),
+        F.col("yoff").cast("double"),
+        (F.col("yoff") + F.col("ysize") - 1).cast("double"),
+        tile_px,
+    )
+    return (
+        bside.join(pside, ["ptx", "pty"], "left")
+        .drop("ptx", "pty")
+        .dropDuplicates(["block_x", "block_y", "burn_ord"])
+    )
+
+
 def rasterize(
     spark: SparkSession,
-    polygons: list[Polygon],
+    polygons: "list[Polygon] | DataFrame",
     gt: tuple,
     width: int,
     height: int,
@@ -48,34 +90,47 @@ def rasterize(
     dtype: str = "int16",
     nodata: float = 0.0,
     band: str = "B1",
+    tile_px: int = 1024,
 ) -> DataFrame:
     """Burn ``polygons`` into a (height, width) raster on ``gt``,
     returned as the standard blocks schema.  ``values`` maps polygon
     code → burn value (default: 1-based position in ``polygons``).
-    Later list entries overwrite earlier ones where they overlap."""
+    Later list entries overwrite earlier ones where they overlap.
+
+    ``polygons`` may instead be a **DataFrame** (VERDICT r5 task 3)
+    with `code` + `wkt`/bbox columns plus ``burn_v`` (value) and
+    ``burn_ord`` (explicit overwrite order — a distributed table has
+    no list order, so determinism must be declared): the polygon side
+    is exploded onto a ``tile_px`` pixel grid in-plan and LEFT
+    equi-joined to the block grid on the tile key (blocks no polygon
+    touches still emit nodata — a raster has every pixel), with no
+    driver materialization at any polygon count."""
     if gt[2] != 0 or gt[4] != 0:
         raise ValueError("rasterize requires an axis-aligned geotransform")
     x0, xres, _, y0, _, yres = (float(g) for g in gt)
-    vals = values or {p.code: float(i + 1) for i, p in enumerate(polygons)}
 
-    poly_rows = []
-    for i, p in enumerate(polygons):
-        if p.bbox is not None:
-            xmin, ymin, xmax, ymax = (float(v) for v in p.bbox)
-            wkt = None
-        else:
-            shell, _holes = geom.parse_wkt_polygon(p.wkt)
-            xmin, ymin, xmax, ymax = geom.polygon_bbox(shell)
-            wkt = p.wkt
-        poly_rows.append((i, float(vals[p.code]), xmin, ymin, xmax, ymax, wkt))
-    polys = spark.createDataFrame(
-        pd.DataFrame(
-            poly_rows,
-            columns=["burn_ord", "burn_v", "pxmin", "pymin", "pxmax", "pymax", "wkt"],
-        ),
-        "burn_ord int, burn_v double, pxmin double, pymin double, "
-        "pxmax double, pymax double, wkt string",
-    )
+    if isinstance(polygons, DataFrame):
+        polys = None  # df path joins below
+    else:
+        vals = values or {p.code: float(i + 1) for i, p in enumerate(polygons)}
+        poly_rows = []
+        for i, p in enumerate(polygons):
+            if p.bbox is not None:
+                xmin, ymin, xmax, ymax = (float(v) for v in p.bbox)
+                wkt = None
+            else:
+                shell, _holes = geom.parse_wkt_polygon(p.wkt)
+                xmin, ymin, xmax, ymax = geom.polygon_bbox(shell)
+                wkt = p.wkt
+            poly_rows.append((i, float(vals[p.code]), xmin, ymin, xmax, ymax, wkt))
+        polys = spark.createDataFrame(
+            pd.DataFrame(
+                poly_rows,
+                columns=["burn_ord", "burn_v", "pxmin", "pymin", "pxmax", "pymax", "wkt"],
+            ),
+            "burn_ord int, burn_v double, pxmin double, pymin double, "
+            "pxmax double, pymax double, wkt string",
+        )
 
     n_bx, n_by = -(-width // block), -(-height // block)
     grid = (
@@ -97,14 +152,17 @@ def rasterize(
         "bxmax", F.greatest(bx0, bx1)
     ).withColumn("bymin", F.least(by0, by1)).withColumn("bymax", F.greatest(by0, by1))
 
-    pairs = g.join(
-        F.broadcast(polys),
-        (F.col("bxmin") <= F.col("pxmax"))
-        & (F.col("bxmax") >= F.col("pxmin"))
-        & (F.col("bymin") <= F.col("pymax"))
-        & (F.col("bymax") >= F.col("pymin")),
-        "left",
-    )
+    if polys is not None:
+        pairs = g.join(
+            F.broadcast(polys),
+            (F.col("bxmin") <= F.col("pxmax"))
+            & (F.col("bxmax") >= F.col("pxmin"))
+            & (F.col("bymin") <= F.col("pymax"))
+            & (F.col("bymax") >= F.col("pymin")),
+            "left",
+        )
+    else:
+        pairs = _pairs_left_df(g, polygons, gt, tile_px)
 
     npdt = np.dtype(dtype)
 

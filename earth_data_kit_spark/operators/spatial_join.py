@@ -69,7 +69,7 @@ def covering_df(spark: SparkSession, polygons: list[Polygon], res: int) -> DataF
 
 def pip_join(
     pages: DataFrame,
-    polygons: list[Polygon],
+    polygons: "list[Polygon] | DataFrame",
     res: int = 7,
     lon_col: str = "lon",
     lat_col: str = "lat",
@@ -78,8 +78,18 @@ def pip_join(
 ) -> DataFrame:
     """pages ⋈ polygons with exact PIP semantics.
 
-    Returns pages columns + ``code`` (one output row per (page,
-    polygon) containment; a page inside two polygons appears twice).
+    Returns pages columns + ``cell`` + ``code`` (one output row per
+    (page, polygon) containment; a page inside two polygons appears
+    twice).
+
+    ``polygons`` is a driver list (broadcast metadata — countries,
+    admin regions) or a **DataFrame** (`code` + `wkt` and/or
+    xmin/ymin/xmax/ymax — the million-polygon parcels case, VERDICT
+    r5 task 3): the DataFrame path generates the covering IN-PLAN
+    (``operators.polygons.covering_cells_df``, two explode(sequence)
+    nodes, zero driver materialization) and refines against carried
+    geometry columns; both paths produce identical rows
+    (tests/test_spatial_join_spark.py parity).
 
     Join-strategy selection (SURVEY.md §4 "broadcast vs shuffle"):
     the covering broadcasts while it fits the broadcast threshold
@@ -90,6 +100,10 @@ def pip_join(
     ``covering`` lets callers reuse a precomputed/persisted covering
     table (the index-reuse path at scale).
     """
+    if isinstance(polygons, DataFrame):
+        return _pip_join_df(
+            pages, polygons, res, lon_col, lat_col, broadcast_covering
+        )
     spark = pages.sparkSession
     cov = covering if covering is not None else covering_df(spark, polygons, res)
     if broadcast_covering is None:
@@ -98,6 +112,34 @@ def pip_join(
     with_cell = pages.withColumn("cell", cell_id_col(F.col(lon_col), F.col(lat_col), res))
     cand = with_cell.join(F.broadcast(cov) if broadcast_covering else cov, "cell")
     return cand.where(refine_predicate(polygons, lon_col, lat_col))
+
+
+def _pip_join_df(
+    pages: DataFrame,
+    polygons: DataFrame,
+    res: int,
+    lon_col: str,
+    lat_col: str,
+    broadcast_covering: bool | None,
+) -> DataFrame:
+    """DataFrame-polygon-side pip_join: normalize → in-plan covering
+    → (broadcast | shuffle) equi-join on cell → carried-column refine.
+    When ``broadcast_covering`` is None the polygon table is counted
+    (one tiny aggregate job — a scalar, not a materialization) and
+    broadcast under ``polygons.BROADCAST_MAX_POLYGONS``."""
+    from earth_data_kit_spark.operators import polygons as P
+
+    norm = P.normalize_polygons_df(polygons)
+    if broadcast_covering is None:
+        broadcast_covering = norm.count() < P.BROADCAST_MAX_POLYGONS
+    cov = P.covering_cells_df(norm, res)
+    with_cell = pages.withColumn(
+        "cell", cell_id_col(F.col(lon_col), F.col(lat_col), res)
+    )
+    cand = with_cell.join(F.broadcast(cov) if broadcast_covering else cov, "cell")
+    return cand.where(P.refine_predicate_cols(lon_col, lat_col)).drop(
+        "wkt", "xmin", "ymin", "xmax", "ymax"
+    )
 
 
 def refine_predicate(polygons: list[Polygon], lon_col: str, lat_col: str) -> "F.Column":

@@ -46,10 +46,71 @@ from earth_data_kit_spark.grid import geom
 from earth_data_kit_spark.operators.spatial_join import Polygon
 
 
+def _with_geo_bbox(blocks: DataFrame, gt: tuple) -> DataFrame:
+    """Block pixel window → geo bbox, pure Columns (yres < 0 flips)."""
+    x0, xres, _, y0, _, yres = (float(g) for g in gt)
+    bx0 = F.lit(x0) + F.col("xoff") * F.lit(xres)
+    bx1 = F.lit(x0) + (F.col("xoff") + F.col("xsize")) * F.lit(xres)
+    by0 = F.lit(y0) + F.col("yoff") * F.lit(yres)
+    by1 = F.lit(y0) + (F.col("yoff") + F.col("ysize")) * F.lit(yres)
+    return (
+        blocks.withColumn("bxmin", F.least(bx0, bx1))
+        .withColumn("bxmax", F.greatest(bx0, bx1))
+        .withColumn("bymin", F.least(by0, by1))
+        .withColumn("bymax", F.greatest(by0, by1))
+    )
+
+
+def _pairs_df(
+    blocks: DataFrame, polygons: DataFrame, gt: tuple, tile_px: int
+) -> DataFrame:
+    """(block × polygon) candidate pairs with a DATAFRAME polygon
+    side: both sides exploded onto a ``tile_px`` pixel grid in-plan,
+    equi-joined on (ptx, pty), deduped back to one row per (block,
+    polygon), then exact-bbox-filtered.  The join shuffles (or
+    broadcasts, AQE's call) tile keys — never a nested loop, never a
+    driver list.  Output schema matches the list path's ``pairs``:
+    blocks columns + code, wkt, pxmin/pymin/pxmax/pymax."""
+    from earth_data_kit_spark.operators import polygons as P
+
+    norm = P.polygons_pixel_bbox(P.normalize_polygons_df(polygons), gt)
+    pside = P.pixel_tiles(
+        norm,
+        F.col("p_lo_x"), F.col("p_hi_x"), F.col("p_lo_y"), F.col("p_hi_y"),
+        tile_px,
+    ).select(
+        "ptx", "pty",
+        "code", "wkt",
+        F.col("xmin").alias("pxmin"), F.col("ymin").alias("pymin"),
+        F.col("xmax").alias("pxmax"), F.col("ymax").alias("pymax"),
+        "p_lo_x", "p_hi_x", "p_lo_y", "p_hi_y",
+    )
+    bside = P.pixel_tiles(
+        blocks,
+        F.col("xoff").cast("double"),
+        (F.col("xoff") + F.col("xsize") - 1).cast("double"),
+        F.col("yoff").cast("double"),
+        (F.col("yoff") + F.col("ysize") - 1).cast("double"),
+        tile_px,
+    )
+    joined = bside.join(pside, ["ptx", "pty"]).drop("ptx", "pty")
+    # a pair sharing several tiles appears several times → one row
+    # per (block, polygon); then exact pixel-interval overlap prune
+    ident = ["tile_name", "band", "block_x", "block_y", "code"]
+    pairs = joined.dropDuplicates(ident).where(
+        (F.col("xoff") <= F.col("p_hi_x"))
+        & (F.col("xoff") + F.col("xsize") - 1 >= F.col("p_lo_x"))
+        & (F.col("yoff") <= F.col("p_hi_y"))
+        & (F.col("yoff") + F.col("ysize") - 1 >= F.col("p_lo_y"))
+    )
+    return pairs.drop("p_lo_x", "p_hi_x", "p_lo_y", "p_hi_y")
+
+
 def zonal_stats(
     blocks: DataFrame,
-    polygons: list[Polygon],
+    polygons: "list[Polygon] | DataFrame",
     gt: tuple,
+    tile_px: int = 1024,
 ) -> DataFrame:
     """Per-polygon, per-band raster statistics.
 
@@ -57,44 +118,49 @@ def zonal_stats(
     pixel space; ``gt``: the raster's GDAL geotransform mapping
     pixels to polygon coordinates (axis-aligned: gt[2] == gt[4] == 0).
     Returns (code, band, n_px, mean_v, std_v, min_v, max_v).
+
+    ``polygons`` is a driver list (tiny zone tables — broadcast bbox
+    theta join, the original plan) or a **DataFrame** (`code` +
+    `wkt`/bbox — VERDICT r5 task 3): the DataFrame path covers BOTH
+    sides with a ``tile_px``-pixel grid IN-PLAN
+    (``operators.polygons.pixel_tiles``) and equi-joins on the tile
+    key — broadcastable or shuffleable by Catalyst/AQE, no driver
+    materialization, no nested-loop theta join.  Both paths feed the
+    identical Arrow partial stage and agree row-for-row
+    (tests/test_zonal.py parity).
     """
     if gt[2] != 0 or gt[4] != 0:
         raise ValueError("zonal_stats requires an axis-aligned geotransform")
     spark = blocks.sparkSession
     x0, xres, _, y0, _, yres = (float(g) for g in gt)
 
-    poly_rows = []
-    for p in polygons:
-        if p.bbox is not None:
-            xmin, ymin, xmax, ymax = (float(v) for v in p.bbox)
-            poly_rows.append((p.code, xmin, ymin, xmax, ymax, None))
-        else:
-            shell, _holes = geom.parse_wkt_polygon(p.wkt)
-            xmin, ymin, xmax, ymax = geom.polygon_bbox(shell)
-            poly_rows.append((p.code, xmin, ymin, xmax, ymax, p.wkt))
-    polys = spark.createDataFrame(
-        pd.DataFrame(
-            poly_rows, columns=["code", "pxmin", "pymin", "pxmax", "pymax", "wkt"]
-        ),
-        "code string, pxmin double, pymin double, pxmax double, pymax double, wkt string",
-    )
+    if isinstance(polygons, DataFrame):
+        pairs = _pairs_df(blocks, polygons, gt, tile_px)
+    else:
+        poly_rows = []
+        for p in polygons:
+            if p.bbox is not None:
+                xmin, ymin, xmax, ymax = (float(v) for v in p.bbox)
+                poly_rows.append((p.code, xmin, ymin, xmax, ymax, None))
+            else:
+                shell, _holes = geom.parse_wkt_polygon(p.wkt)
+                xmin, ymin, xmax, ymax = geom.polygon_bbox(shell)
+                poly_rows.append((p.code, xmin, ymin, xmax, ymax, p.wkt))
+        polys = spark.createDataFrame(
+            pd.DataFrame(
+                poly_rows, columns=["code", "pxmin", "pymin", "pxmax", "pymax", "wkt"]
+            ),
+            "code string, pxmin double, pymin double, pxmax double, pymax double, wkt string",
+        )
 
-    # block pixel window → geo bbox, pure Columns (yres < 0 flips)
-    bx0 = F.lit(x0) + F.col("xoff") * F.lit(xres)
-    bx1 = F.lit(x0) + (F.col("xoff") + F.col("xsize")) * F.lit(xres)
-    by0 = F.lit(y0) + F.col("yoff") * F.lit(yres)
-    by1 = F.lit(y0) + (F.col("yoff") + F.col("ysize")) * F.lit(yres)
-    b = blocks.withColumn("bxmin", F.least(bx0, bx1)).withColumn(
-        "bxmax", F.greatest(bx0, bx1)
-    ).withColumn("bymin", F.least(by0, by1)).withColumn("bymax", F.greatest(by0, by1))
-
-    pairs = b.join(
-        F.broadcast(polys),
-        (F.col("bxmin") <= F.col("pxmax"))
-        & (F.col("bxmax") >= F.col("pxmin"))
-        & (F.col("bymin") <= F.col("pymax"))
-        & (F.col("bymax") >= F.col("pymin")),
-    )
+        b = _with_geo_bbox(blocks, gt)
+        pairs = b.join(
+            F.broadcast(polys),
+            (F.col("bxmin") <= F.col("pxmax"))
+            & (F.col("bxmax") >= F.col("pxmin"))
+            & (F.col("bymin") <= F.col("pymax"))
+            & (F.col("bymax") >= F.col("pymin")),
+        )
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from earth_data_kit_spark.operators.blocks import _decode

@@ -270,6 +270,18 @@ class Dataset:
 
         return region_label(blocks, raster_size, block)
 
+    def polygonize(
+        self, blocks: DataFrame, raster_size: tuple[int, int], block: int,
+        gt: tuple | None = None,
+    ) -> DataFrame:
+        """Regions → vector rings (the full GDAL polygonize): one WKT
+        POLYGON (shell + holes) per connected equal-valued region,
+        in pixel-lattice or geo (``gt``) coordinates; region ids and
+        pixel counts match ``regions`` row-for-row."""
+        from earth_data_kit_spark.operators.polygonize import polygonize as _pz
+
+        return _pz(blocks, raster_size, block, gt=gt)
+
     def focal(
         self, blocks: DataFrame, raster_size: tuple[int, int], block: int,
         fn: str = "mean", **kw,
@@ -296,7 +308,9 @@ class Dataset:
     def zonal_stats(self, blocks: DataFrame, polygons, gt: tuple) -> DataFrame:
         """Per-polygon raster statistics (raster↔vector): broadcast
         bbox prefilter → Arrow partial per intersecting block →
-        native final agg.  ``polygons``: list of spatial_join.Polygon."""
+        native final agg.  ``polygons``: list of spatial_join.Polygon,
+        or a DataFrame (code + wkt/bbox columns — the distributed
+        polygon side, r6) tile-equi-joined in-plan."""
         from earth_data_kit_spark.operators.zonal import zonal_stats as _zs
 
         return _zs(blocks, polygons, gt)

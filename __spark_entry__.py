@@ -368,6 +368,72 @@ def _q_geo_pip_concave(spark, sf_dir):
     )
 
 
+def _q_geo_pip_table(spark, sf_dir):
+    """PIP join with the polygon side as a DATAFRAME (r6: the
+    million-polygon parcels path, operators/polygons.py): covering
+    generated IN-PLAN by two explode(sequence) nodes, bbox of WKT
+    rows derived by an Arrow UDF over the polygon table, refine
+    against CARRIED geometry columns — zero driver materialization.
+    The table mixes rectangle rows (COUNTRIES) with a concave+holed
+    WKT row, so both refine branches run.  Oracle: rect containment
+    UNION the concave rectangle decomposition."""
+    import pandas as pd
+
+    from earth_data_kit_spark.operators import spatial_join as sj
+
+    pages = _pages(spark, sf_dir)
+    rows = [
+        (c, None, float(x0), float(y0), float(x1), float(y1))
+        for c, _, x0, y0, x1, y1 in COUNTRIES
+    ] + [("CC", CONCAVE_WKT, None, None, None, None)]
+    polys_df = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["code", "wkt", "xmin", "ymin", "xmax", "ymax"]
+        ),
+        "code string, wkt string, xmin double, ymin double, "
+        "xmax double, ymax double",
+    )
+    return _nonempty(
+        sj.pip_join(pages, polys_df, res=CELL_RES).select("page_id", "code"),
+        "geo_pip_table",
+    )
+
+
+def _q_geo_polygonize(spark, sf_dir):
+    """Raster→vector polygonize (r6, operators/polygonize.py): a
+    closed-form 96×96 rect-grid raster (value (x//13*7+y//11*3)%4 —
+    every adjacent rectangle differs, so regions ARE the rectangles)
+    labeled, stitched across 32-px blocks and traced into WKT rings.
+    The oracle reconstructs each rectangle's exact WKT string (the
+    tracer's deterministic start corner + orientation), so ring
+    geometry, collinear compression and cross-block stitching are all
+    hash-gated.  Holes/pinches stay pytest-gated
+    (tests/test_polygonize.py roundtrip oracle)."""
+    import numpy as np
+
+    from earth_data_kit_spark.operators.blocks import BLOCK_SCHEMA
+    from earth_data_kit_spark.operators.polygonize import polygonize
+
+    x, y = np.meshgrid(np.arange(96), np.arange(96))
+    arr = (((x // 13) * 7 + (y // 11) * 3) % 4).astype(np.float32)
+    rows = []
+    for by in range(0, 96, 32):
+        for bx in range(0, 96, 32):
+            v = arr[by : by + 32, bx : bx + 32]
+            rows.append(
+                ("t", "B1", bx // 32, by // 32, bx, by, 32, 32,
+                 "float32", float("nan"), 1.0, 0.0, v.tobytes())
+            )
+    blocks = spark.createDataFrame(rows, BLOCK_SCHEMA).repartition(4)
+    out = polygonize(blocks, (96, 96), 32)
+    return out.select(
+        F.col("value").cast("double").alias("value"),
+        F.col("n_px").cast("bigint").alias("n_px"),
+        F.col("n_rings").cast("int").alias("n_rings"),
+        "wkt",
+    )
+
+
 def _q_geo_pip_antimeridian(spark, sf_dir):
     """Antimeridian-crossing bbox (xmin > xmax): the covering wraps
     (grid/cells.covering_bbox) and the rectangle refine switches to a
@@ -1339,11 +1405,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rel_semi_join (exists/semi covered by rel_q4_priority_exists),
     rel_q10_returned_items (join+agg+topk covered by rel_q3/rel_q18),
     geo_pip_rows (same rows now flow through the REAL S2 engine
-    as geo_pip_s2; the quadgrid row path stays pytest-gated), and
+    as geo_pip_s2; the quadgrid row path stays pytest-gated),
     geo_cog_layout (r5: the template/layout golden math stays pinned
     in tests/test_cog.py; its driver slot upgraded to
     geo_cog_roundtrip, which value-checks the PHYSICAL COG
-    write→distributed-scan path against a closed-form oracle).
+    write→distributed-scan path against a closed-form oracle),
+    geo_pip_polygon (r6: the convex-pentagon ray-cast refine is a
+    strict subset of geo_pip_concave + the new geo_pip_table's WKT
+    branch; pentagon goldens stay in tests/test_goldens.py), and
+    rel_q6_forecast (r6: selective filter+agg arithmetic is pinned by
+    rel_q1 + rel_q14; the query stays in tests/test_api.py).  Their
+    two slots host the r6 surfaces: geo_pip_table (DataFrame polygon
+    side) and geo_polygonize (raster→vector rings).
     """
     return {
         # previously-unrecorded components first (ANN / embedding /
@@ -1357,9 +1430,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_cell_counts": _q_geo_cell_counts,
         "geo_pip_countries": _q_geo_pip_countries,
         "geo_pip_s2": _q_geo_pip_s2,
-        "geo_pip_polygon": _q_geo_pip_polygon,
+        "geo_pip_table": _q_geo_pip_table,
         "geo_pip_concave": _q_geo_pip_concave,
         "geo_pip_antimeridian": _q_geo_pip_antimeridian,
+        "geo_polygonize": _q_geo_polygonize,
         "geo_pyramid": _q_geo_pyramid,
         "geo_knn": _q_geo_knn,
         "geo_radius_join": _q_geo_radius_join,
@@ -1380,7 +1454,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q1_pricing_summary": _q_rel_q1_pricing_summary,
         "rel_q3_shipping_priority": _q_rel_q3_shipping_priority,
         "rel_q5_supplier_volume": _q_rel_q5_supplier_volume,
-        "rel_q6_forecast": _q_rel_q6_forecast,
         "rel_q4_priority_exists": _q_rel_q4_priority_exists,
         "rel_q14_promo_share": _q_rel_q14_promo_share,
         "rel_q18_large_orders": _q_rel_q18_large_orders,
@@ -1443,18 +1516,44 @@ FROM pages p JOIN countries c
   ON p.lon >= c.xmin AND p.lon <= c.xmax AND p.lat >= c.ymin AND p.lat <= c.ymax
 WHERE page_id % 7 = 0
 """,
-        "geo_pip_polygon": f"""
+        # DataFrame polygon side: rect containment for the COUNTRIES
+        # rows UNION the concave C-shape's rectangle decomposition —
+        # same refine semantics as the list path, so a hash match
+        # pins covering_cells_df + the carried-column refine
+        "geo_pip_table": f"""
 WITH pages AS ({pages}),
--- convex pentagon: inside ⇔ every edge cross-product ≥ 0 (CCW ring)
-hp AS (
-  SELECT page_id,
-    {" AND ".join(
-        f"(({x2!r} - {x1!r}) * (lat - {y1!r}) - ({y2!r} - {y1!r}) * (lon - {x1!r})) > 0"
-        for (x1, y1), (x2, y2) in zip(PENTAGON, PENTAGON[1:] + PENTAGON[:1])
-    )} AS inside
-  FROM pages
+countries(code, xmin, ymin, xmax, ymax) AS (VALUES {countries_values})
+SELECT page_id, code
+FROM pages p JOIN countries c
+  ON p.lon >= c.xmin AND p.lon <= c.xmax AND p.lat >= c.ymin AND p.lat <= c.ymax
+UNION ALL
+SELECT page_id, 'CC' AS code
+FROM pages
+WHERE (
+     (lon > 10 AND lon < 18 AND lat > 35 AND lat < 55)
+  OR (lon >= 18 AND lon < 30 AND lat > 35 AND lat < 44)
+  OR (lon >= 18 AND lon < 30 AND lat > 52 AND lat < 55)
 )
-SELECT page_id, 'P5' AS code FROM hp WHERE inside
+AND NOT (lon > 20 AND lon < 24 AND lat > 36 AND lat < 39)
+""",
+        # polygonize over the rect-grid raster: regions ARE the grid
+        # rectangles, and the tracer's ring is deterministic (starts
+        # at the NW corner, walks down the left side), so the oracle
+        # rebuilds the exact WKT text per rectangle
+        "geo_polygonize": """
+WITH r AS (
+  SELECT i * 13 AS x0, least((i + 1) * 13, 96) AS xb,
+         j * 11 AS y0, least((j + 1) * 11, 96) AS yb,
+         CAST((i * 7 + j * 3) % 4 AS DOUBLE) AS value
+  FROM range(8) c(i), range(9) rr(j)
+)
+SELECT value,
+       CAST((xb - x0) * (yb - y0) AS BIGINT) AS n_px,
+       CAST(1 AS INTEGER) AS n_rings,
+       'POLYGON ((' || x0 || ' ' || y0 || ', ' || x0 || ' ' || yb || ', '
+                    || xb || ' ' || yb || ', ' || xb || ' ' || y0 || ', '
+                    || x0 || ' ' || y0 || '))' AS wkt
+FROM r
 """,
         "geo_pip_antimeridian": f"""
 WITH pages AS ({pages})
@@ -1727,15 +1826,6 @@ FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
   AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
 GROUP BY n_name
-""",
-        "rel_q6_forecast": """
-SELECT
-  round(CAST(sum(l_extendedprice * l_discount) AS DOUBLE), 2) AS revenue,
-  count(*) AS n_rows
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
 """,
         "rel_q4_priority_exists": """
 SELECT o_orderpriority, count(*) AS order_count

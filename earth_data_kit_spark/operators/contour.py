@@ -180,11 +180,12 @@ def contour_lines(segments: DataFrame, quantum: float = 1e-6) -> DataFrame:
     Endpoints are exact rational crossings of the same cell edges on
     both sides (the blocking-invariance property), so quantizing by
     ``quantum`` keys shared endpoints identically; each segment is an
-    edge between its two endpoint keys and ``dedup.dup_clusters``
-    min-label propagation labels the connected endpoint graph — the
-    same machinery that merges regions and dup clusters.  line_id =
-    the component's minimum endpoint key: stable across partitionings
-    and blockings."""
+    edge between its two endpoint keys and ``_cc_star_contraction``
+    (large-star/small-star + compose — O(log length) rounds, unlike
+    ``dedup.dup_clusters``'s O(diameter) propagation, because a
+    polyline's diameter IS its length) labels the connected endpoint
+    graph.  line_id = the component's minimum endpoint key: stable
+    across partitionings and blockings."""
 
     def key(x, y, lv):
         return F.abs(
@@ -202,7 +203,7 @@ def contour_lines(segments: DataFrame, quantum: float = 1e-6) -> DataFrame:
         F.col("_ka").alias("id_a"), F.col("_kb").alias("id_b")
     ).distinct()
 
-    mapping = _cc_pointer_jump(edges)
+    mapping = _cc_star_contraction(edges)
     out = (
         segs.join(mapping.withColumnRenamed("node", "_ka"), "_ka", "left")
         .withColumn("line_id", F.coalesce(F.col("cluster"), F.col("_ka")))
@@ -211,7 +212,7 @@ def contour_lines(segments: DataFrame, quantum: float = 1e-6) -> DataFrame:
     return out
 
 
-def _cc_pointer_jump(
+def _cc_star_contraction(
     edges: DataFrame, max_iter: int = 60, stats: dict | None = None
 ) -> DataFrame:
     """Connected components for polyline graphs → (node, cluster),

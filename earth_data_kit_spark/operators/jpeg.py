@@ -1,13 +1,15 @@
-"""Baseline-sequential JPEG codec — pure numpy/stdlib, no codec lib.
+"""JPEG codec — pure numpy/stdlib, no codec lib.
 
 Closes the last first-class multimodal seam (VERDICT r4 task 5): the
 dominant real-corpus image format decodes for REAL behind
 ``multimodal.decode_image``.  Implements the public ITU-T T.81
-baseline process only:
+baseline process AND (r6, VERDICT r5 task 6) the progressive DCT
+process — SOF2 with spectral selection + successive approximation,
+the form a significant fraction of real web images ship in:
 
 * 8-bit samples, Huffman entropy coding (no arithmetic), sequential
-  DCT (no progressive), grayscale (1 component) and YCbCr with
-  4:2:0 or 4:4:4 subsampling, restart markers honored;
+  (SOF0) and progressive (SOF2) DCT, grayscale (1 component) and
+  YCbCr with 4:2:0 or 4:4:4 subsampling, restart markers honored;
 * the encoder exists so tests can synthesize deterministic fixtures
   (standard Annex K quantization tables scaled by quality, standard
   Annex K Huffman tables) — encoder and decoder are INDEPENDENT
@@ -428,11 +430,54 @@ def _read_huff(br, tbl) -> int:
     raise ValueError("corrupt JPEG: invalid Huffman code")
 
 
+def _planes_to_image(full: dict, comps: list) -> np.ndarray:
+    """Component planes (already cropped to h×w) → uint8 image:
+    shared by the baseline and progressive decode paths so the
+    color-convert semantics can never fork."""
+    if len(comps) == 1:
+        return np.clip(np.round(full[comps[0][0]]), 0, 255).astype(np.uint8)
+    y, cb, cr = (full[c[0]] for c in comps)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _sof_marker(payload: bytes) -> int:
+    """First SOFn marker in the stream (frame-type dispatch)."""
+    pos = 2
+    while pos + 3 < len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return marker
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        pos += seglen
+        if marker == 0xDA:
+            break
+    return 0
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline-sequential decode → (h, w) uint8 grayscale or
-    (h, w, 3) uint8 RGB."""
+    """JPEG decode → (h, w) uint8 grayscale or (h, w, 3) uint8 RGB.
+
+    Baseline sequential (SOF0) and progressive (SOF2: spectral
+    selection + successive approximation, r6 — a large share of real
+    web corpora is progressive) both decode for real; other frame
+    types (lossless, arithmetic, hierarchical) raise."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
+    if _sof_marker(payload) == 0xC2:
+        return _decode_progressive(payload)
     pos = 2
     qtbls: dict[int, np.ndarray] = {}
     dc_tbls: dict[int, dict] = {}
@@ -546,11 +591,509 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if hs != hmax or vs != vmax:
             p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         full[cid] = p[:h, :w]
-    if len(comps) == 1:
-        return np.clip(np.round(full[comps[0][0]]), 0, 255).astype(np.uint8)
-    y, cb, cr = (full[c[0]] for c in comps)
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return _planes_to_image(full, comps)
+
+
+# --- progressive (SOF2) ---------------------------------------------
+#
+# Spectral selection + successive approximation per T.81 Annexes F/G
+# (public spec; the scan-script shape matches what cjpeg/libjpeg emit
+# for the web's progressive JPEGs).  The decoder accumulates DEQUANT-
+# READY coefficients across scans; the encoder exists primarily as
+# the fixture generator for the oracle test: progressive layering of
+# the SAME quantized coefficients must decode bit-identically to the
+# baseline stream (tests/test_jpeg.py).
+
+
+def _tz(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al truncating toward zero."""
+    v = int(v)
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _comp_block_dims(h: int, w: int, hs: int, vs: int, hmax: int, vmax: int):
+    """NON-INTERLEAVED scan block dims (T.81 A.2.2): the component's
+    true sample dims rounded up to blocks — NOT the MCU-padded grid."""
+    cw = -(-w * hs // hmax)
+    ch = -(-h * vs // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_progressive(payload: bytes) -> np.ndarray:
+    qtbls: dict[int, np.ndarray] = {}
+    dc_tbls: dict[int, dict] = {}
+    ac_tbls: dict[int, dict] = {}
+    comps: list = []
+    h = w = 0
+    restart_interval = 0
+    coef: dict[int, np.ndarray] = {}
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
+    pos = 2
+    while pos + 1 < len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:
+            bpos = 0
+            while bpos < len(body):
+                pq_tq = body[bpos]
+                pq, tq = pq_tq >> 4, pq_tq & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                q = np.zeros(64, dtype=np.int64)
+                q[ZIGZAG] = np.frombuffer(body, np.uint8, 64, bpos + 1)
+                qtbls[tq] = q.reshape(8, 8)
+                bpos += 65
+        elif marker == 0xC4:
+            bpos = 0
+            while bpos < len(body):
+                tc_th = body[bpos]
+                tc, th = tc_th >> 4, tc_th & 0x0F
+                bits = list(body[bpos + 1 : bpos + 17])
+                n = sum(bits)
+                vals = list(body[bpos + 17 : bpos + 17 + n])
+                (dc_tbls if tc == 0 else ac_tbls)[th] = _huff_decode_table(bits, vals)
+                bpos += 17 + n
+        elif marker == 0xC2:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit progressive JPEG supported")
+            for ci in range(nc):
+                cid, samp, tq = body[6 + ci * 3 : 9 + ci * 3]
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for cid, hs, vs, _ in comps:
+                coef[cid] = np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64)
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cid, tbls = body[1 + si * 2], body[2 + si * 2]
+                scan.append((cid, tbls >> 4, tbls & 0x0F))
+            ss, se, ahal = body[1 + ns * 2 : 4 + ns * 2]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if (ss == 0) != (se == 0) or se > 63 or se < ss:
+                raise ValueError(
+                    "invalid progressive scan header (DC scans are "
+                    f"Ss=Se=0, AC bands 1<=Ss<=Se<=63; got {ss}..{se})"
+                )
+            # entropy segment: to the next non-RST marker
+            p = pos
+            while p + 1 < len(payload):
+                if payload[p] == 0xFF and payload[p + 1] != 0x00 and not (
+                    0xD0 <= payload[p + 1] <= 0xD7
+                ):
+                    break
+                p += 1
+            br = _BitReader(payload[pos:p])
+            pos = p
+            comp_by_id = {c[0]: c for c in comps}
+            if ss == 0:
+                _scan_dc(br, scan, comp_by_id, coef, ah, al,
+                         mcus_x, mcus_y, dc_tbls, restart_interval, h, w,
+                         hmax, vmax)
+            else:
+                if len(scan) != 1:
+                    raise ValueError("progressive AC scan must be single-component")
+                cid, _, act = scan[0]
+                _, hs, vs, _ = comp_by_id[cid]
+                nby, nbx = _comp_block_dims(h, w, hs, vs, hmax, vmax)
+                _scan_ac(br, coef[cid], ac_tbls[act], ss, se, ah, al,
+                         nby, nbx, restart_interval)
+    if not comps or h == 0:
+        raise ValueError("corrupt JPEG: missing SOF2/SOS")
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        cf = coef[cid]
+        nby, nbx = cf.shape[:2]
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        qz = qtbls[tq].ravel()[ZIGZAG]
+        nat = np.zeros(64, dtype=np.float64)
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = cf[by, bx]
+                nat[:] = 0.0
+                nat[ZIGZAG] = zz * qz
+                plane[by*8:by*8+8, bx*8:bx*8+8] = idct2(nat.reshape(8, 8)) + 128.0
+        if hs != hmax or vs != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+        planes[cid] = plane[:h, :w]
+    return _planes_to_image(planes, comps)
+
+
+def _scan_dc(br, scan, comp_by_id, coef, ah, al, mcus_x, mcus_y,
+             dc_tbls, restart_interval, h, w, hmax, vmax):
+    """DC scan (Ss=Se=0): first pass (Ah=0) Huffman-coded diffs of the
+    point-transformed DC; refinement (Ah>0) one raw bit per block."""
+    preds = {cid: 0 for cid, _, _ in scan}
+    if len(scan) > 1:
+        mcu_count = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    br.align_and_skip_rst()
+                    preds = {cid: 0 for cid in preds}
+                for cid, dct, _ in scan:
+                    _, hs, vs, _ = comp_by_id[cid]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            zz = coef[cid][my * vs + by, mx * hs + bx]
+                            if ah == 0:
+                                t = _read_huff(br, dc_tbls[dct])
+                                diff = _extend(br.read_bits(t), t) if t else 0
+                                preds[cid] += diff
+                                zz[0] = preds[cid] << al
+                            elif br.read_bit():
+                                zz[0] |= 1 << al
+                mcu_count += 1
+    else:
+        cid, dct, _ = scan[0]
+        _, hs, vs, _ = comp_by_id[cid]
+        nby, nbx = _comp_block_dims(h, w, hs, vs, hmax, vmax)
+        blk_count = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and blk_count and blk_count % restart_interval == 0:
+                    br.align_and_skip_rst()
+                    preds = {cid: 0}
+                zz = coef[cid][by, bx]
+                if ah == 0:
+                    t = _read_huff(br, dc_tbls[dct])
+                    diff = _extend(br.read_bits(t), t) if t else 0
+                    preds[cid] += diff
+                    zz[0] = preds[cid] << al
+                elif br.read_bit():
+                    zz[0] |= 1 << al
+                blk_count += 1
+
+
+def _scan_ac(br, cf, ac_tbl, ss, se, ah, al, nby, nbx, restart_interval):
+    """AC scan over one component's spec-dim block grid: first pass
+    (Ah=0) with EOB-run coding; refinement (Ah>0) with correction
+    bits interleaved per T.81 G.1.2.3 (the decoder mirror of
+    libjpeg's decode_mcu_AC_refine control flow)."""
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    blk_count = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if restart_interval and blk_count and blk_count % restart_interval == 0:
+                br.align_and_skip_rst()
+                eobrun = 0
+            blk_count += 1
+            zz = cf[by, bx]
+            if ah == 0:
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _read_huff(br, ac_tbl)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("corrupt JPEG: AC index past Se")
+                    zz[k] = _extend(br.read_bits(s), s) << al
+                    k += 1
+            else:
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _read_huff(br, ac_tbl)
+                        r, s = rs >> 4, rs & 0x0F
+                        val = 0
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.read_bits(r)
+                                break
+                            # r == 15: ZRL — skip 16 zero-history coefs
+                        else:
+                            val = p1 if br.read_bit() else m1
+                        while k <= se:
+                            if zz[k] != 0:
+                                if br.read_bit() and (abs(zz[k]) & p1) == 0:
+                                    zz[k] += p1 if zz[k] > 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            zz[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if zz[k] != 0 and br.read_bit() and (abs(zz[k]) & p1) == 0:
+                            zz[k] += p1 if zz[k] > 0 else m1
+                        k += 1
+                    eobrun -= 1
+
+
+# --- progressive encoder (fixture generator for the oracle test) ----
+
+
+def _coef_blocks(img: np.ndarray, quality: int, subsample: bool):
+    """Quantized zigzag coefficient arrays per component — the SAME
+    padding / chroma box-downsample / quantization arithmetic as
+    ``encode_jpeg``, so a progressive stream built from these decodes
+    bit-identically to the baseline stream (the oracle property)."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ql = quality_scale(QTBL_LUMA, quality)
+    qc = quality_scale(QTBL_CHROMA, quality)
+
+    def blocks_of(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+        ph, pw = plane.shape
+        out = np.zeros((ph // 8, pw // 8, 64), dtype=np.int64)
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                c = np.round(
+                    fdct2(plane[by:by+8, bx:bx+8].astype(np.float64) - 128.0) / q
+                ).astype(np.int64)
+                out[by // 8, bx // 8] = c.ravel()[ZIGZAG]
+        return out
+
+    if gray:
+        bh, bwid = -(-h // 8) * 8, -(-w // 8) * 8
+        yp = np.pad(img.astype(np.float64), ((0, bh - h), (0, bwid - w)), mode="edge")
+        return h, w, [(1, 1, 1, 0)], {1: blocks_of(yp, ql)}, {0: ql}
+    r = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    b = img[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    if subsample:
+        mcu = 16
+        mh, mw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+        yp = np.pad(y, ((0, mh - h), (0, mw - w)), mode="edge")
+        cbp = np.pad(cb, ((0, mh - h), (0, mw - w)), mode="edge")
+        crp = np.pad(cr, ((0, mh - h), (0, mw - w)), mode="edge")
+        cbs = cbp.reshape(mh // 2, 2, mw // 2, 2).mean(axis=(1, 3))
+        crs = crp.reshape(mh // 2, 2, mw // 2, 2).mean(axis=(1, 3))
+        comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        coef = {1: blocks_of(yp, ql), 2: blocks_of(cbs, qc), 3: blocks_of(crs, qc)}
+    else:
+        mh, mw = -(-h // 8) * 8, -(-w // 8) * 8
+        planes = [np.pad(p, ((0, mh - h), (0, mw - w)), mode="edge") for p in (y, cb, cr)]
+        comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        coef = {1: blocks_of(planes[0], ql), 2: blocks_of(planes[1], qc),
+                3: blocks_of(planes[2], qc)}
+    return h, w, comps, coef, {0: ql, 1: qc}
+
+
+def _enc_ac_first(bw, blocks, ac_codes, ss, se, al):
+    for zz in blocks:
+        band = [_tz(zz[k], al) for k in range(ss, se + 1)]
+        nz = [i for i, v in enumerate(band) if v]
+        if not nz:
+            c, ln = ac_codes[0x00]
+            bw.write(c, ln)
+            continue
+        last = nz[-1]
+        run = 0
+        for i, v in enumerate(band):
+            if i > last:
+                c, ln = ac_codes[0x00]
+                bw.write(c, ln)
+                break
+            if v == 0:
+                run += 1
+                if run == 16:
+                    c, ln = ac_codes[0xF0]
+                    bw.write(c, ln)
+                    run = 0
+                continue
+            t, code = _magnitude(v)
+            c, ln = ac_codes[(run << 4) | t]
+            bw.write(c, ln)
+            bw.write(code, t)
+            run = 0
+
+
+def _enc_ac_refine(bw, blocks, ac_codes, ss, se, al):
+    """Mirror of _scan_ac's refinement branch: correction bits for
+    already-significant coefficients ride after the next Huffman
+    symbol, in position order, exactly as the decoder consumes them."""
+    for zz in blocks:
+        # queue of events since the last emitted symbol:
+        # ('z',) zero-history zero, ('h', bit) history correction bit
+        queue: list = []
+        emitted_any = False
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            now = _tz(v, al)
+            hist = _tz(v, al + 1) != 0
+            if hist:
+                queue.append(("h", (abs(v) >> al) & 1))
+            elif now != 0:
+                # newly significant (|now| == 1 by construction)
+                zr = sum(1 for e in queue if e[0] == "z")
+                while zr >= 16:
+                    c, ln = ac_codes[0xF0]
+                    bw.write(c, ln)
+                    consumed = 0
+                    while queue and consumed < 16:
+                        e = queue.pop(0)
+                        if e[0] == "z":
+                            consumed += 1
+                        else:
+                            bw.write(e[1], 1)
+                    zr -= 16
+                c, ln = ac_codes[(zr << 4) | 1]
+                bw.write(c, ln)
+                bw.write(1 if now > 0 else 0, 1)
+                for e in queue:
+                    if e[0] == "h":
+                        bw.write(e[1], 1)
+                queue.clear()
+                emitted_any = True
+            else:
+                queue.append(("z",))
+        if queue or not emitted_any:
+            c, ln = ac_codes[0x00]  # EOB0
+            bw.write(c, ln)
+            for e in queue:
+                if e[0] == "h":
+                    bw.write(e[1], 1)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 90, subsample: bool = True
+) -> bytes:
+    """Progressive (SOF2) encoder over the SAME quantized
+    coefficients as ``encode_jpeg`` — the libjpeg-shaped scan script:
+    interleaved DC first at Al=1, per-component AC bands at Al=2,
+    one AC refinement to Al=1, the DC refinement, and the final AC
+    refinement to Al=0.  EOB runs are restricted to EOB0 so the
+    standard Annex K Huffman tables stay sufficient (pure size cost,
+    spec-valid)."""
+    h, w, comps, coef, qts = _coef_blocks(img, quality, subsample)
+    gray = len(comps) == 1
+    dc_l, ac_l = _huff_codes(*DC_LUMA), _huff_codes(*AC_LUMA)
+    dc_c, ac_c = _huff_codes(*DC_CHROMA), _huff_codes(*AC_CHROMA)
+    dc_for = {cid: (dc_l if tq == 0 else dc_c) for cid, _, _, tq in comps}
+    ac_for = {cid: (ac_l if tq == 0 else ac_c) for cid, _, _, tq in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, b"\x00" + bytes(qts[0].ravel()[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += _seg(0xFFDB, b"\x01" + bytes(qts[1].ravel()[ZIGZAG].astype(np.uint8)))
+    comp_bytes = b"".join(
+        bytes([cid, (hs << 4) | vs, tq]) for cid, hs, vs, tq in comps
+    )
+    out += _seg(0xFFC2, struct.pack(">BHHB", 8, h, w, len(comps)) + comp_bytes)
+    out += _seg(0xFFC4, _dht_body(0x00, *DC_LUMA))
+    out += _seg(0xFFC4, _dht_body(0x10, *AC_LUMA))
+    if not gray:
+        out += _seg(0xFFC4, _dht_body(0x01, *DC_CHROMA))
+        out += _seg(0xFFC4, _dht_body(0x11, *AC_CHROMA))
+
+    def sos(scan_comps, ss, se, ah, al):
+        body = bytes([len(scan_comps)])
+        for cid in scan_comps:
+            tq = next(c[3] for c in comps if c[0] == cid)
+            body += bytes([cid, (tq << 4) | tq])  # luma 0x00, chroma 0x11
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xFFDA, body)
+
+    def dc_scan_blocks():
+        """MCU order when interleaved, row-major otherwise."""
+        if len(comps) > 1:
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for cid, hs, vs, _ in comps:
+                        for by in range(vs):
+                            for bx in range(hs):
+                                yield cid, coef[cid][my * vs + by, mx * hs + bx]
+        else:
+            cid, hs, vs, _ = comps[0]
+            nby, nbx = _comp_block_dims(h, w, hs, vs, hmax, vmax)
+            for by in range(nby):
+                for bx in range(nbx):
+                    yield cid, coef[cid][by, bx]
+
+    def ac_blocks(cid):
+        c = next(cc for cc in comps if cc[0] == cid)
+        nby, nbx = _comp_block_dims(h, w, c[1], c[2], hmax, vmax)
+        for by in range(nby):
+            for bx in range(nbx):
+                yield coef[cid][by, bx]
+
+    # scan 1: DC first, Al=1
+    out += sos([c[0] for c in comps], 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = {c[0]: 0 for c in comps}
+    for cid, zz in dc_scan_blocks():
+        v = int(zz[0]) >> 1  # DC point transform: arithmetic shift
+        diff = v - preds[cid]
+        preds[cid] = v
+        t, code = _magnitude(diff)
+        c, ln = dc_for[cid][t]
+        bw.write(c, ln)
+        if t:
+            bw.write(code, t)
+    bw.flush()
+    out += bw.buf
+    # scans 2..: AC bands at Al=2, per component
+    for cid in [c[0] for c in comps]:
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos([cid], ss, se, 0, 2)
+            bw = _BitWriter()
+            _enc_ac_first(bw, ac_blocks(cid), ac_for[cid], ss, se, 2)
+            bw.flush()
+            out += bw.buf
+    # AC refinement Al 2->1
+    for cid in [c[0] for c in comps]:
+        out += sos([cid], 1, 63, 2, 1)
+        bw = _BitWriter()
+        _enc_ac_refine(bw, ac_blocks(cid), ac_for[cid], 1, 63, 1)
+        bw.flush()
+        out += bw.buf
+    # DC refinement Ah=1 -> Al=0 (raw bits)
+    out += sos([c[0] for c in comps], 0, 0, 1, 0)
+    bw = _BitWriter()
+    for cid, zz in dc_scan_blocks():
+        bw.write(int(zz[0]) & 1, 1)
+    bw.flush()
+    out += bw.buf
+    # AC refinement Al 1->0
+    for cid in [c[0] for c in comps]:
+        out += sos([cid], 1, 63, 1, 0)
+        bw = _BitWriter()
+        _enc_ac_refine(bw, ac_blocks(cid), ac_for[cid], 1, 63, 0)
+        bw.flush()
+        out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -124,7 +124,7 @@ def test_cc_logarithmic_convergence(spark):
     under the large-star/small-star + compose alternation.  Node ids
     are a random permutation so pointer chains are realistic, not
     presorted."""
-    from earth_data_kit_spark.operators.contour import _cc_pointer_jump
+    from earth_data_kit_spark.operators.contour import _cc_star_contraction
 
     n = 10_000
     rng = np.random.default_rng(7)
@@ -134,7 +134,7 @@ def test_cc_logarithmic_convergence(spark):
         "id_a long, id_b long",
     ).repartition(8)
     stats: dict = {}
-    lab = _cc_pointer_jump(edges, stats=stats)
+    lab = _cc_star_contraction(edges, stats=stats)
     clusters = [r["cluster"] for r in lab.select("cluster").distinct().collect()]
     assert clusters == [min(ids)]
     bound = int(2 * np.log2(n)) + 1  # ~27 for n=10k

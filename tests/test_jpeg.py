@@ -127,12 +127,19 @@ def test_decoder_restart_markers_reset_dc_predictor():
 def test_decoder_rejects_non_baseline_and_garbage():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"nope")
-    # progressive SOF2 must be refused, not mis-decoded
+    # lossless SOF3 must be refused, not mis-decoded
     bad = bytearray(_headers())
-    # rewrite the SOF0 marker byte (search for FF C0) to FF C2
+    i = bytes(bad).find(b"\xff\xc0")
+    bad[i + 1] = 0xC3
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(bad) + b"\xd0\xa2\xbf\xff\xd9")
+    # SOF2 now ROUTES to the progressive decoder (r6) — a baseline
+    # scan header (Ss=0, Se=63) inside a progressive frame is invalid
+    # and must fail loudly, not mis-decode
+    bad = bytearray(_headers())
     i = bytes(bad).find(b"\xff\xc0")
     bad[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="non-baseline"):
+    with pytest.raises(ValueError, match="progressive scan"):
         decode_jpeg(bytes(bad) + b"\xd0\xa2\xbf\xff\xd9")
 
 
@@ -145,3 +152,71 @@ def test_byte_stuffing_roundtrip():
     sos = enc.find(b"\xff\xda")
     assert b"\xff\x00" in enc[sos:], "fixture never stuffed — rotate seed"
     assert psnr(img, decode_jpeg(enc)) > 25.0
+
+
+# --- progressive (SOF2, r6) ------------------------------------------
+#
+# The oracle property: encode_jpeg_progressive layers the SAME
+# quantized coefficients as encode_jpeg (shared _coef_blocks), so the
+# progressive decode must be BIT-IDENTICAL to the baseline decode —
+# any error in spectral-selection banding, successive-approximation
+# shifts, EOB runs, ZRL skips or refinement correction bits breaks
+# exact equality.
+
+from earth_data_kit_spark.operators.jpeg import (  # noqa: E402
+    _sof_marker,
+    encode_jpeg_progressive,
+)
+
+
+def _assert_prog_equals_baseline(img, q=90, sub=True):
+    base = encode_jpeg(img, quality=q, subsample=sub)
+    prog = encode_jpeg_progressive(img, quality=q, subsample=sub)
+    assert _sof_marker(base) == 0xC0 and _sof_marker(prog) == 0xC2
+    assert prog.count(b"\xff\xda") >= 6  # genuinely multi-scan
+    a, b = decode_jpeg(base), decode_jpeg(prog)
+    assert a.shape == b.shape
+    assert np.array_equal(a, b)
+
+
+def test_progressive_gray_matches_baseline_exactly():
+    rng = np.random.default_rng(5)
+    _assert_prog_equals_baseline(
+        rng.integers(0, 256, (48, 56)).astype(np.uint8), q=90
+    )
+    # partial MCUs + low quality (long zero runs, EOB-heavy)
+    _assert_prog_equals_baseline(
+        rng.integers(0, 256, (37, 29)).astype(np.uint8), q=50
+    )
+
+
+def test_progressive_color_420_and_444_match_baseline():
+    rng = np.random.default_rng(7)
+    _assert_prog_equals_baseline(
+        rng.integers(0, 256, (41, 53, 3)).astype(np.uint8), q=85, sub=True
+    )
+    _assert_prog_equals_baseline(
+        rng.integers(0, 256, (33, 17, 3)).astype(np.uint8), q=90, sub=False
+    )
+
+
+def test_progressive_extreme_spectra():
+    x, y = np.meshgrid(np.arange(80), np.arange(64))
+    _assert_prog_equals_baseline(((x * 3 + y * 2) % 256).astype(np.uint8), q=95)
+    _assert_prog_equals_baseline(
+        (((x % 2) ^ (y % 2)) * 255).astype(np.uint8), q=90
+    )
+    _assert_prog_equals_baseline(np.full((40, 40), 128, np.uint8), q=90)
+
+
+def test_progressive_flows_through_decode_image():
+    """multimodal.decode_image dispatches SOF2 transparently — the
+    web-corpus pipeline needs no flagging path now that progressive
+    decodes for real."""
+    from earth_data_kit_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+    out = decode_image(encode_jpeg_progressive(img, quality=92))
+    ref = decode_image(encode_jpeg(img, quality=92))
+    assert np.array_equal(out, ref)

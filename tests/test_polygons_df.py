@@ -225,6 +225,27 @@ def test_zonal_stats_list_df_parity(spark):
             assert got[code][k] == pytest.approx(want[code][k]), (code, k)
 
 
+def test_zonal_df_plan_is_equi_join(spark):
+    """The DataFrame polygon path must plan a hash EQUI-join on the
+    pixel-tile key (broadcastable AND shuffleable), never the
+    nested-loop bbox theta join the list path's broadcast uses."""
+    blocks = synth_blocks_df(spark, 512, 512, 128)
+    pdf_df = spark.createDataFrame(
+        pd.DataFrame(
+            {"code": ["A"], "wkt": [None], "xmin": [12.0], "ymin": [41.0],
+             "xmax": [20.0], "ymax": [45.0]}
+        ),
+        "code string, wkt string, xmin double, ymin double, xmax double, ymax double",
+    )
+    out = zonal_stats(blocks, pdf_df, GT, tile_px=256)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
 # ---------------------------------------------------- rasterize parity
 
 

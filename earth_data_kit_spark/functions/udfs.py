@@ -215,3 +215,62 @@ def shingle_hashes_udf(k: int = 5):
         )
 
     return _sh
+
+
+@F.pandas_udf(T.DoubleType())
+def overlay_area_udf(
+    wkt_a: pd.Series,
+    xmin_a: pd.Series,
+    ymin_a: pd.Series,
+    xmax_a: pd.Series,
+    ymax_a: pd.Series,
+    wkt_b: pd.Series,
+    xmin_b: pd.Series,
+    ymin_b: pd.Series,
+    xmax_b: pd.Series,
+    ymax_b: pd.Series,
+) -> pd.Series:
+    """Exact polygon∩polygon area for candidate pairs of
+    ``operators.overlay.overlay_join`` (``grid.clip`` band-trapezoid
+    S–H; planar degrees²).  A side with null ``wkt`` is its bbox
+    rectangle.  Parsed rings AND per-distinct-pair areas are cached
+    per Arrow batch — candidate generation repeats the same pair only
+    across cells (deduped upstream), but repeats the same GEOMETRY
+    once per partner, and parse cost dominates for vertex-heavy
+    polygons.  Rect-rect pairs never reach this UDF (pure-Column
+    fast path upstream)."""
+    from earth_data_kit_spark.grid import clip as C
+
+    n = len(wkt_a)
+    out = np.zeros(n, dtype=np.float64)
+    ring_cache: dict = {}
+    pair_cache: dict = {}
+
+    def _rings(w, x0, y0, x1, y1):
+        key = w if w is not None else (x0, y0, x1, y1)
+        got = ring_cache.get(key)
+        if got is None:
+            if w is not None:
+                shell, holes = geom.parse_wkt_polygon(w)
+            else:
+                shell, holes = C.rect_ring(x0, y0, x1, y1), []
+            got = ring_cache[key] = (shell, holes)
+        return key, got
+
+    wa, wb = wkt_a.values, wkt_b.values
+    for i in range(n):
+        a = wa[i] if isinstance(wa[i], str) else None
+        b = wb[i] if isinstance(wb[i], str) else None
+        ka, (sa, ha) = _rings(
+            a, xmin_a.iat[i], ymin_a.iat[i], xmax_a.iat[i], ymax_a.iat[i]
+        )
+        kb, (sb, hb) = _rings(
+            b, xmin_b.iat[i], ymin_b.iat[i], xmax_b.iat[i], ymax_b.iat[i]
+        )
+        area = pair_cache.get((ka, kb))
+        if area is None:
+            area = pair_cache[(ka, kb)] = C.polygon_intersection_area(
+                sa, ha, sb, hb
+            )
+        out[i] = area
+    return pd.Series(out)

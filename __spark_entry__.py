@@ -434,6 +434,114 @@ def _q_geo_polygonize(spark, sf_dir):
     )
 
 
+def _parcels_df(spark):
+    """Deterministic 8×8 integer-coordinate parcel grid (10°×10°
+    boxes on a 7°/6° pitch → parcels overlap their neighbors AND
+    straddle zone borders), synthesized IN-PLAN from spark.range —
+    the SQL oracle rebuilds it from range(8)×range(8)."""
+    return spark.range(64).select(
+        F.concat(
+            F.lit("p"),
+            (F.col("id") % 8).cast("string"),
+            F.lit("_"),
+            (F.col("id") / 8).cast("int").cast("string"),
+        ).alias("code"),
+        ((F.col("id") % 8) * 7 - 35).cast("double").alias("xmin"),
+        ((F.col("id") / 8).cast("int") * 6 - 24).cast("double").alias("ymin"),
+        ((F.col("id") % 8) * 7 - 25).cast("double").alias("xmax"),
+        ((F.col("id") / 8).cast("int") * 6 - 14).cast("double").alias("ymax"),
+    )
+
+
+def _q_geo_overlay(spark, sf_dir):
+    """Polygon×polygon overlay join (r6, operators/overlay.py): a
+    64-parcel rectangle grid against the COUNTRIES boxes plus the
+    concave+holed CC WKT — covering equi-join on cell, PBSM
+    report-once dedup (canonical intersection-corner cell, pure
+    Column), rect×rect areas in codegen, the CC pairs through the
+    Sutherland–Hodgman Arrow UDF.  Every coordinate pair is chosen
+    so intersection areas are exact in float: the oracle recomputes
+    rect overlaps with least/greatest products and the CC area by
+    rectangle decomposition minus the hole."""
+    import pandas as pd
+
+    from earth_data_kit_spark.operators.overlay import overlay_join
+
+    zones = [
+        (c, None, float(x0), float(y0), float(x1), float(y1))
+        for c, _, x0, y0, x1, y1 in COUNTRIES
+    ] + [("CC", CONCAVE_WKT, None, None, None, None)]
+    zones_df = spark.createDataFrame(
+        pd.DataFrame(
+            zones, columns=["code", "wkt", "xmin", "ymin", "xmax", "ymax"]
+        ),
+        "code string, wkt string, xmin double, ymin double, "
+        "xmax double, ymax double",
+    )
+    out = overlay_join(_parcels_df(spark), zones_df, res=5)
+    return _nonempty(
+        out.select(
+            "code_a", "code_b", F.round("area", 6).alias("area")
+        ),
+        "geo_overlay",
+    )
+
+
+def _q_geo_hexbin(spark, sf_dir):
+    """Hex-binned page density (r6, functions/hexbin.py): pointy-top
+    axial hex grid, cube-rounded, size 3° — plus the bin-center
+    inverse transform.  Spark evaluates the SAME SQL fragment text
+    the DuckDB oracle runs (pure IEEE arithmetic), so bins match
+    bit-for-bit."""
+    from earth_data_kit_spark.functions.hexbin import hex_bin, hex_center_sql
+
+    pages = _pages(spark, sf_dir)
+    cx, cy = hex_center_sql("hq", "hr", 3.0)
+    return (
+        hex_bin(pages, size=3.0)
+        .groupBy("hq", "hr")
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            "hq",
+            "hr",
+            F.round(F.expr(cx), 6).alias("cx"),
+            F.round(F.expr(cy), 6).alias("cy"),
+            "n_pages",
+        )
+    )
+
+
+def _q_dd_semdedup(spark, sf_dir):
+    """SemDeDup (r6, operators/semdedup.py): deterministic
+    distributed Lloyd's over the twin-planted embeddings (the
+    dd_embedding_pairs fixture), then within-cluster cosine dup
+    marking.  The oracle replays the exact spec as a CTE chain
+    (semdedup_oracle_sql) — cluster assignment AND dup flags are
+    compared row-for-row."""
+    from earth_data_kit_spark.operators.semdedup import semdedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    twins = (
+        emb.where(F.col("vec_id") % 50 == 0)
+        .withColumn("flip", (F.col("vec_id") % 64).cast("int"))
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda v, i: F.when(i == F.col("flip"), -v).otherwise(v)
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    both = emb.unionByName(twins)
+    out = semdedup(both, k=8, iters=3, tau=0.9)
+    return _nonempty(
+        out.select(
+            "vec_id", F.col("cluster").cast("bigint").alias("cluster"), "is_dup"
+        ),
+        "dd_semdedup",
+    )
+
+
 def _q_geo_pip_antimeridian(spark, sf_dir):
     """Antimeridian-crossing bbox (xmin > xmax): the covering wraps
     (grid/cells.covering_bbox) and the rectangle refine switches to a
@@ -1414,9 +1522,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     strict subset of geo_pip_concave + the new geo_pip_table's WKT
     branch; pentagon goldens stay in tests/test_goldens.py), and
     rel_q6_forecast (r6: selective filter+agg arithmetic is pinned by
-    rel_q1 + rel_q14; the query stays in tests/test_api.py).  Their
-    two slots host the r6 surfaces: geo_pip_table (DataFrame polygon
-    side) and geo_polygonize (raster→vector rings).
+    rel_q1 + rel_q14; the query stays in tests/test_api.py),
+    geo_pip_concave (r6 late: became a strict subset of
+    geo_pip_table, whose CC row runs the same concave+holed ray-cast
+    refine), rel_q14_promo_share (conditional-aggregate arithmetic
+    pinned by rel_q1 + rel_conditional_pivot) and
+    rel_q18_large_orders (agg-filter join-back pinned by
+    rel_q3/rel_q4/rel_top_customers_window) — all three stay
+    oracle-gated in tests/test_retired_queries.py.  Their slots host
+    the r6 surfaces: geo_pip_table (DataFrame polygon side),
+    geo_polygonize (raster→vector rings), geo_overlay
+    (polygon×polygon intersection areas), geo_hexbin (hex binning)
+    and dd_semdedup (cluster-scoped embedding dedup).
     """
     return {
         # previously-unrecorded components first (ANN / embedding /
@@ -1431,9 +1548,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_pip_countries": _q_geo_pip_countries,
         "geo_pip_s2": _q_geo_pip_s2,
         "geo_pip_table": _q_geo_pip_table,
-        "geo_pip_concave": _q_geo_pip_concave,
         "geo_pip_antimeridian": _q_geo_pip_antimeridian,
         "geo_polygonize": _q_geo_polygonize,
+        "geo_overlay": _q_geo_overlay,
+        "geo_hexbin": _q_geo_hexbin,
         "geo_pyramid": _q_geo_pyramid,
         "geo_knn": _q_geo_knn,
         "geo_radius_join": _q_geo_radius_join,
@@ -1455,8 +1573,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q3_shipping_priority": _q_rel_q3_shipping_priority,
         "rel_q5_supplier_volume": _q_rel_q5_supplier_volume,
         "rel_q4_priority_exists": _q_rel_q4_priority_exists,
-        "rel_q14_promo_share": _q_rel_q14_promo_share,
-        "rel_q18_large_orders": _q_rel_q18_large_orders,
         "rel_top_customers_window": _q_rel_top_customers_window,
         "rel_anti_join": _q_rel_anti_join,
         "rel_rollup": _q_rel_rollup,
@@ -1467,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_trigram_jaccard": _q_dedup_trigram_jaccard,
         "dd_dup_clusters": _q_dd_dup_clusters,
+        "dd_semdedup": _q_dd_semdedup,
         "txt_vocab": _q_txt_vocab,
         "txt_stratified_sample": _q_txt_stratified_sample,
         "txt_split_counts": _q_txt_split_counts,
@@ -1490,6 +1607,26 @@ def oracle_sql() -> dict[str, str]:
         for c, _, xmin, ymin, xmax, ymax in COUNTRIES
     )
     knn_values = ", ".join(f"({qid}, {lat!r}, {lon!r})" for qid, lat, lon in KNN_QUERIES)
+    countries_dbl = ", ".join(
+        f"('{c}', CAST({xmin!r} AS DOUBLE), CAST({ymin!r} AS DOUBLE),"
+        f" CAST({xmax!r} AS DOUBLE), CAST({ymax!r} AS DOUBLE))"
+        for c, _, xmin, ymin, xmax, ymax in COUNTRIES
+    )
+    from earth_data_kit_spark.functions.hexbin import hex_center_sql, hex_qr_sql
+    from earth_data_kit_spark.operators.semdedup import semdedup_oracle_sql
+
+    hexq, hexr = hex_qr_sql("lon", "lat", 3.0)
+    hexcx, hexcy = hex_center_sql("hq", "hr", 3.0)
+    semdedup_inner = semdedup_oracle_sql(
+        8, 3, 0.9,
+        table=(
+            "(SELECT vec_id, embedding FROM embeddings UNION ALL "
+            "SELECT vec_id + 100000 AS vec_id, "
+            "list_transform(embedding, (v, i) -> CASE WHEN i - 1 = vec_id % 64"
+            " THEN -v ELSE v END) AS embedding "
+            "FROM embeddings WHERE vec_id % 50 = 0) corpus"
+        ),
+    )
     hav = haversine_m_sql("q.qlat", "q.qlon", "p.lat", "p.lon")
     hav_t = hav
     return {
@@ -1555,22 +1692,53 @@ SELECT value,
                     || x0 || ' ' || y0 || '))' AS wkt
 FROM r
 """,
+        # overlay: every coordinate is integer or shared-double, so
+        # LEAST/GREATEST products match the engine's codegen rect path
+        # and the S-H CC path bit-for-bit; CC = 3 rects minus the hole
+        "geo_overlay": f"""
+WITH parcels AS (
+  SELECT 'p' || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR) AS code_a,
+         CAST(i * 7 - 35 AS DOUBLE) AS xmin, CAST(j * 6 - 24 AS DOUBLE) AS ymin,
+         CAST(i * 7 - 25 AS DOUBLE) AS xmax, CAST(j * 6 - 14 AS DOUBLE) AS ymax
+  FROM range(8) a(i), range(8) b(j)
+),
+zones(code_b, xmin, ymin, xmax, ymax) AS (VALUES {countries_dbl}),
+rect AS (
+  SELECT p.code_a, z.code_b,
+         greatest(0e0, least(p.xmax, z.xmax) - greatest(p.xmin, z.xmin))
+       * greatest(0e0, least(p.ymax, z.ymax) - greatest(p.ymin, z.ymin)) AS area
+  FROM parcels p CROSS JOIN zones z
+),
+ccparts(xmin, ymin, xmax, ymax, sgn) AS (VALUES
+  (10e0, 35e0, 18e0, 55e0, 1e0), (18e0, 35e0, 30e0, 44e0, 1e0),
+  (18e0, 52e0, 30e0, 55e0, 1e0), (20e0, 36e0, 24e0, 39e0, -1e0)),
+cc AS (
+  SELECT p.code_a, 'CC' AS code_b,
+         sum(sgn * greatest(0e0, least(p.xmax, c.xmax) - greatest(p.xmin, c.xmin))
+                 * greatest(0e0, least(p.ymax, c.ymax) - greatest(p.ymin, c.ymin))) AS area
+  FROM parcels p CROSS JOIN ccparts c GROUP BY p.code_a
+)
+SELECT code_a, code_b, round(area, 6) AS area FROM rect WHERE area > 0
+UNION ALL
+SELECT code_a, code_b, round(area, 6) AS area FROM cc WHERE area > 0
+""",
+        # hexbin: the SAME SQL fragment text the Spark plan runs
+        "geo_hexbin": f"""
+WITH pages AS ({pages}),
+b AS (SELECT {hexq} AS hq, {hexr} AS hr FROM pages)
+SELECT hq, hr, round({hexcx}, 6) AS cx, round({hexcy}, 6) AS cy,
+       count(*) AS n_pages
+FROM b GROUP BY hq, hr
+""",
+        "dd_semdedup": f"""
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, is_dup
+FROM ({semdedup_inner}) t
+""",
         "geo_pip_antimeridian": f"""
 WITH pages AS ({pages})
 SELECT page_id, 'AM' AS code
 FROM pages
 WHERE (lon >= 150.0 OR lon <= -140.0) AND lat >= -40.0 AND lat <= 10.0
-""",
-        "geo_pip_concave": f"""
-WITH pages AS ({pages})
-SELECT page_id, 'CC' AS code
-FROM pages
-WHERE (
-     (lon > 10 AND lon < 18 AND lat > 35 AND lat < 55)
-  OR (lon >= 18 AND lon < 30 AND lat > 35 AND lat < 44)
-  OR (lon >= 18 AND lon < 30 AND lat > 52 AND lat < 55)
-)
-AND NOT (lon > 20 AND lon < 24 AND lat > 36 AND lat < 39)
 """,
         "geo_pyramid": f"""
 WITH pages AS ({pages})
@@ -1838,29 +2006,6 @@ WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
       AND l.l_shipdate > o.o_orderdate + INTERVAL 10 DAY
   )
 GROUP BY o_orderpriority
-""",
-        "rel_q14_promo_share": """
-SELECT
-  round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) AS DOUBLE)
-        / CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) * 1e2, 6) AS promo_share_pct,
-  count(*) AS n_rows
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
-""",
-        "rel_q18_large_orders": """
-WITH big AS (
-  SELECT l_orderkey, sum(l_quantity) AS total_qty
-  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 190
-)
-SELECT c_custkey, c_name, l_orderkey,
-  strftime(o_orderdate, '%Y-%m-%d') AS order_day,
-  round(o_totalprice, 2) AS o_totalprice,
-  round(CAST(total_qty AS DOUBLE), 2) AS total_qty
-FROM big JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-ORDER BY total_qty DESC, l_orderkey ASC
-LIMIT 50
 """,
         "rel_top_customers_window": """
 SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, CAST(rnk AS BIGINT) AS rnk,

@@ -1,9 +1,11 @@
-"""Driver rows retired in r6 to free slots for geo_pip_table /
-geo_polygonize stay oracle-pinned HERE (the retirement contract in
-__spark_entry__.queries()'s docstring): geo_pip_polygon (convex
-pentagon ray-cast refine) and rel_q6_forecast (TPC-H Q6 selective
-filter + agg arithmetic) run Spark vs DuckDB at sf0.01 exactly as
-the driver gate would."""
+"""Driver rows retired in r6 stay oracle-pinned HERE (the
+retirement contract in __spark_entry__.queries()'s docstring):
+geo_pip_polygon (convex pentagon ray-cast refine), rel_q6_forecast
+(TPC-H Q6 selective filter + agg arithmetic), geo_pip_concave
+(concave+holed ray-cast, now a strict subset of geo_pip_table),
+rel_q14_promo_share (conditional-aggregate ratio) and
+rel_q18_large_orders (HAVING-sum join-back ordered limit) run Spark
+vs DuckDB at sf0.01 exactly as the driver gate would."""
 
 import duckdb
 import numpy as np
@@ -19,7 +21,7 @@ SF = "/root/testdata/sf0.01"
 @pytest.fixture(scope="module")
 def ddb():
     con = duckdb.connect()
-    for t in ("documents", "lineitem"):
+    for t in ("documents", "lineitem", "part", "orders", "customer"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -79,4 +81,59 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     sdf = entrymod._q_rel_q6_forecast(spark, SF).toPandas()
     ddf = ddb.execute(sql).fetchdf()
     assert sdf["n_rows"].iloc[0] > 0
+    _compare(sdf, ddf)
+
+
+def test_retired_geo_pip_concave(spark, ddb):
+    sql = f"""
+WITH pages AS ({pages_cte_sql()})
+SELECT page_id, 'CC' AS code
+FROM pages
+WHERE (
+     (lon > 10 AND lon < 18 AND lat > 35 AND lat < 55)
+  OR (lon >= 18 AND lon < 30 AND lat > 35 AND lat < 44)
+  OR (lon >= 18 AND lon < 30 AND lat > 52 AND lat < 55)
+)
+AND NOT (lon > 20 AND lon < 24 AND lat > 36 AND lat < 39)
+"""
+    sdf = entrymod._q_geo_pip_concave(spark, SF).toPandas()
+    ddf = ddb.execute(sql).fetchdf()
+    assert len(sdf) > 0
+    _compare(sdf, ddf)
+
+
+def test_retired_rel_q14_promo_share(spark, ddb):
+    sql = """
+SELECT
+  round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) AS DOUBLE)
+        / CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) * 1e2, 6) AS promo_share_pct,
+  count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+"""
+    sdf = entrymod._q_rel_q14_promo_share(spark, SF).toPandas()
+    ddf = ddb.execute(sql).fetchdf()
+    assert sdf["n_rows"].iloc[0] > 0
+    _compare(sdf, ddf)
+
+
+def test_retired_rel_q18_large_orders(spark, ddb):
+    sql = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 190
+)
+SELECT c_custkey, c_name, l_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+  round(o_totalprice, 2) AS o_totalprice,
+  round(CAST(total_qty AS DOUBLE), 2) AS total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, l_orderkey ASC
+LIMIT 50
+"""
+    sdf = entrymod._q_rel_q18_large_orders(spark, SF).toPandas()
+    ddf = ddb.execute(sql).fetchdf()
+    assert len(sdf) > 0
     _compare(sdf, ddf)

@@ -584,9 +584,19 @@ def _q_geo_knn(spark, sf_dir):
       cell (``broadcast_queries=False`` — the at-scale shape for
       query tables too big to broadcast).
 
+    * ``src='h3'`` — the same fixed batch through the REAL H3-class
+      aperture-7 icosahedral hex index (r6,
+      operators/spatial_join_h3.py): cover-cap prefilter from a
+      deliberately starved 50 km start, radius auto-grow, haversine
+      re-rank — the north rule's "kNN via H3 k-ring expansion with
+      distance re-rank" on genuine hex cells, gated against the same
+      brute-force oracle (an index that misses a true neighbor
+      hash-mismatches here).
+
     Oracle: DuckDB brute-force kNN over each query set, union'd with
     the same tag."""
     from earth_data_kit_spark.operators.knn import knn_join
+    from earth_data_kit_spark.operators.spatial_join_h3 import knn_join_h3
 
     pages = _pages(spark, sf_dir)
     a = knn_join(
@@ -602,7 +612,10 @@ def _q_geo_knn(spark, sf_dir):
         pages, q, k=3, res=5, ring=2, id_col="page_id",
         auto_grow=True, max_ring=64, broadcast_queries=False,
     ).withColumn("src", F.lit("table"))
-    out = a.unionByName(b)
+    c = knn_join_h3(
+        pages, KNN_QUERIES, k=5, res=5, radius_m=50_000.0, auto_grow=True,
+    ).withColumn("src", F.lit("h3"))
+    out = a.unionByName(b).unionByName(c)
     return out.select(
         "src",
         "query_id",
@@ -1778,6 +1791,9 @@ FROM ranked WHERE rank <= 5
 UNION ALL
 SELECT 'table' AS src, query_id, CAST(rank AS BIGINT) AS rank, page_id, round(dist_m, 2) AS dist_m
 FROM ranked_t WHERE rank <= 3
+UNION ALL
+SELECT 'h3' AS src, query_id, CAST(rank AS BIGINT) AS rank, page_id, round(dist_m, 2) AS dist_m
+FROM ranked WHERE rank <= 5
 """,
         "geo_radius_join": f"""
 WITH pages AS ({pages}),

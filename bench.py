@@ -55,6 +55,7 @@ QUERY_ORDER = [
     "extract_geocode",
     "pip_join",
     "pip_join_s2",
+    "pip_join_h3",
     "cell_agg",
     "knn",
     "tile_assign",
@@ -353,7 +354,7 @@ def main() -> None:
     pages = None
     n_pages = 0
     pages_queries = (
-        "pip_join", "pip_join_s2", "cell_agg", "knn",
+        "pip_join", "pip_join_s2", "pip_join_h3", "cell_agg", "knn",
         "hot_cell_salted", "hot_cell_unsalted",
     )
     if need(*pages_queries):
@@ -424,6 +425,42 @@ def main() -> None:
         )
         if "pip_join_s2" in timings:
             extras["pip_join_s2_docs_per_sec"] = round(n_big / timings["pip_join_s2"], 1)
+
+    # q1c: the flagship join through the REAL H3-class hex index
+    # (grid/h3.py, r6) in its at-scale layout: cell ids stamped once
+    # at ingest (one Arrow pass, stored), covering broadcast from
+    # superset-proved cap covers, exact refine in codegen.
+    if need("pip_join_h3"):
+        from earth_data_kit_spark.operators.spatial_join_h3 import (
+            h3_cells_udf,
+            pip_join_h3,
+        )
+
+        # multi-res ingest layout: one Arrow pass stamps the whole
+        # h3_cell_r0..r4 ancestor chain, so the adaptive covering
+        # (continents cover coarse, cities fine) joins stored columns
+        # — zero Python on the pages side at query time
+        h3_path = f"/tmp/edk_bench_pages_h3mr_{os.path.basename(SF_DIR)}_{PAGES_REPS}"
+        if not os.path.exists(h3_path):
+            arr = h3_cells_udf([0, 1, 2, 3, 4])(F.col("lon"), F.col("lat"))
+            df = pages.withColumn("_h3all", arr)
+            for r in range(5):
+                df = df.withColumn(f"h3_cell_r{r}", F.col("_h3all")[r])
+            df.drop("_h3all").write.mode("overwrite").parquet(h3_path)
+        pages_h3_big = reduce(
+            lambda a, b: a.union(b), [spark.read.parquet(h3_path)] * scan_mult
+        )
+        timed(
+            "pip_join_h3",
+            lambda: pip_join_h3(
+                pages_h3_big, polys, res=4, cell_col="h3_cell_r{res}"
+            )
+            .groupBy("code")
+            .count()
+            .collect(),
+        )
+        if "pip_join_h3" in timings:
+            extras["pip_join_h3_docs_per_sec"] = round(n_big / timings["pip_join_h3"], 1)
 
     # q2: cell aggregation (index build + count per cell)
     from earth_data_kit_spark.functions.columns import cell_id_col

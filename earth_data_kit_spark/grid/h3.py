@@ -316,12 +316,12 @@ def min_cell_pitch_m(res: int) -> float:
     return pitch(res) * math.cos(VERTEX_ANG) ** 2 * EARTH_R_M
 
 
-def cover_cap(lat_deg: float, lon_deg: float, radius_m: float, res: int):
-    """All res-cells that can contain a point within ``radius_m`` of
-    (lat, lon) — a guaranteed SUPERSET (the kNN/radius-join
-    prefilter contract).  For every face whose Voronoi region can
-    intersect the cap, enumerate that face's lattice out to the
-    gnomonic-inflated planar radius.  Returns int64 array (deduped)."""
+def _cap_plan(lat_deg: float, lon_deg: float, radius_m: float, res: int):
+    """Enumeration plan for ``cover_cap``: per intersecting face, the
+    (face, q0, r0, nring) disk to enumerate.  Split out so callers can
+    COUNT a cover (``cover_cap_count``) without materializing it —
+    the adaptive-resolution covering in operators/spatial_join_h3.py
+    sizes the resolution from these counts."""
     alpha = radius_m / EARTH_R_M  # angular radius
     xyz = _to_xyz(np.array([lat_deg]), np.array([lon_deg]))[0]
     cosd = FACE_CENTERS @ xyz
@@ -373,6 +373,49 @@ def cover_cap(lat_deg: float, lon_deg: float, radius_m: float, res: int):
         # hex-distance n moves ≥ n·pitch·(√3/2) planar; +2 covers the
         # fractional start cell and the target cell's own extent
         nring = int(math.ceil(d_planar / (p * SQRT3 / 2.0))) + 2
+        out.append((int(f), q0, r0, nring))
+    return out
+
+
+def cover_cap_count(lat_deg: float, lon_deg: float, radius_m: float, res: int) -> int:
+    """Upper bound on ``len(cover_cap(...))`` (pre-dedup disk sizes)
+    WITHOUT materializing — O(faces), used to pick the covering
+    resolution adaptively (a US-sized cap at a fine res would
+    enumerate millions of cells; the caller walks res down until this
+    bound fits its budget)."""
+    return sum(
+        3 * n * (n + 1) + 1 for _, _, _, n in _cap_plan(lat_deg, lon_deg, radius_m, res)
+    )
+
+
+def cover_cap(lat_deg: float, lon_deg: float, radius_m: float, res: int):
+    """All res-cells that can contain a point within ``radius_m`` of
+    (lat, lon) — a guaranteed SUPERSET (the kNN/radius-join
+    prefilter contract).  For every face whose Voronoi region can
+    intersect the cap, enumerate that face's lattice out to the
+    gnomonic-inflated planar radius, then DROP enumerated positions
+    that provably cannot be any cap point's cell:
+
+    * face clip — a point's home face satisfies |uv| ≤ tan(VERTEX_ANG)
+      (Voronoi ⊆ vertex cap), and cube-rounding moves it at most one
+      planar hex circumradius (pitch/√3), so reachable cell centers
+      lie within tan(VERTEX_ANG) + pitch/√3 of the face center;
+    * cap clip — a cap point's cell center is within pitch/√3 PLANAR
+      of it, and the gnomonic map only stretches (|d planar| ≥
+      |d angular|), so the center is within α + pitch/√3 ANGULAR of
+      the query.
+
+    Both margins are one-sided (superset preserved); without them the
+    Lipschitz-inflated disks carry phantom positions far outside the
+    face/cap — ~50× the true covering for continent-sized caps.
+    Returns int64 array (deduped)."""
+    alpha = radius_m / EARTH_R_M
+    xyz = _to_xyz(np.array([lat_deg]), np.array([lon_deg]))[0]
+    full_face = math.tan(VERTEX_ANG)
+    margin = pitch(res) / SQRT3 * 1.0001 + 1e-12
+    cos_cap = math.cos(min(math.pi, alpha + margin))
+    out = []
+    for f, q0, r0, nring in _cap_plan(lat_deg, lon_deg, radius_m, res):
         if 3 * nring * (nring + 1) + 1 > 5_000_000:
             raise ValueError(
                 f"cover_cap(res={res}, radius_m={radius_m:g}) would enumerate "
@@ -380,15 +423,28 @@ def cover_cap(lat_deg: float, lon_deg: float, radius_m: float, res: int):
                 "coarser res for a radius this large"
             )
         dis, djs = _ring_offsets(nring)
+        qq, rr = q0 + dis, r0 + djs
+        uu, vv = _axial_to_uv(qq.astype(np.float64), rr.astype(np.float64), res)
+        keep = np.hypot(uu, vv) <= full_face + margin
+        p = (
+            FACE_CENTERS[f]
+            + uu[keep, None] * FACE_U[f]
+            + vv[keep, None] * FACE_V[f]
+        )
+        p /= np.linalg.norm(p, axis=-1, keepdims=True)
+        keep2 = (p @ xyz) >= cos_cap
+        qq, rr = qq[keep][keep2], rr[keep][keep2]
         out.append(
             pack(
-                np.full(dis.shape, res, dtype=np.int64),
-                np.full(dis.shape, f, dtype=np.int64),
-                q0 + dis,
-                r0 + djs,
+                np.full(qq.shape, res, dtype=np.int64),
+                np.full(qq.shape, f, dtype=np.int64),
+                qq,
+                rr,
             )
         )
-    return np.unique(np.concatenate(out)) if out else np.empty(0, dtype=np.int64)
+    return (
+        np.unique(np.concatenate(out)) if out else np.empty(0, dtype=np.int64)
+    )
 
 
 _RING_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}

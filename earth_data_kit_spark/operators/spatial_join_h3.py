@@ -176,6 +176,222 @@ def knn_join_h3(
     return _topk(scored, k, id_col)
 
 
+def _hav_m(lat1, lon1, lat2, lon2) -> float:
+    import math as m
+
+    p = m.pi / 180.0
+    a = (
+        m.sin((lat2 - lat1) * p / 2) ** 2
+        + m.cos(lat1 * p) * m.cos(lat2 * p) * m.sin((lon2 - lon1) * p / 2) ** 2
+    )
+    return 2 * h3.EARTH_R_M * m.asin(min(1.0, m.sqrt(a)))
+
+
+def _poly_caps(poly) -> list[tuple[float, float, float]]:
+    """(clat, clon, radius_m) caps whose union encloses the polygon's
+    bbox.  Antimeridian boxes (xmin > xmax) split into two halves;
+    elongated boxes chunk along their long axis into ~square tiles so
+    the caps hug the box instead of one half-diagonal cap blowing the
+    area up ~(aspect)× (a US-wide box is ~2.4:1)."""
+    from earth_data_kit_spark.grid import geom
+
+    if poly.bbox is not None:
+        xmin, ymin, xmax, ymax = poly.bbox
+    else:
+        shell, _ = geom.parse_wkt_polygon(poly.wkt)
+        xs = [q[0] for q in shell]
+        ys = [q[1] for q in shell]
+        xmin, ymin, xmax, ymax = min(xs), min(ys), max(xs), max(ys)
+    boxes = (
+        [(xmin, ymin, xmax, ymax)]
+        if xmin <= xmax
+        else [(xmin, ymin, 180.0, ymax), (-180.0, ymin, xmax, ymax)]
+    )
+    import math as m
+
+    caps = []
+    for bx in boxes:
+        midlat = (bx[1] + bx[3]) / 2.0
+        w = (bx[2] - bx[0]) * max(0.05, m.cos(m.radians(midlat)))
+        hgt = bx[3] - bx[1]
+        nx = max(1, min(16, round(w / max(hgt, 1e-9)))) if hgt > 0 else min(16, int(w / 5) + 1)
+        ny = max(1, min(16, round(hgt / max(w, 1e-9)))) if w > 0 else min(16, int(hgt / 5) + 1)
+        if nx > 1:
+            ny = 1
+        step_x = (bx[2] - bx[0]) / nx
+        step_y = (bx[3] - bx[1]) / ny
+        for i in range(nx):
+            for j in range(ny):
+                sub = (
+                    bx[0] + i * step_x,
+                    bx[1] + j * step_y,
+                    bx[0] + (i + 1) * step_x,
+                    bx[1] + (j + 1) * step_y,
+                )
+                cx, cy = (sub[0] + sub[2]) / 2.0, (sub[1] + sub[3]) / 2.0
+                rad = max(
+                    _hav_m(cy, cx, by, bxx)
+                    for by in (sub[1], sub[3])
+                    for bxx in (sub[0], sub[2])
+                )
+                caps.append((cy, cx, rad * 1.001 + 1.0))
+    return caps
+
+
+def _covering_for_polygon(
+    poly, res_max: int, max_cells: int = 2048
+) -> tuple[int, "object"]:
+    """(res, unique covering cells) at the FINEST res ≤ ``res_max``
+    whose actual unique covering stays ≤ ``max_cells``.  Walks fine →
+    coarse; a res whose pre-dedup enumeration bound
+    (``h3.cover_cap_count``) exceeds 50·max_cells is skipped without
+    materializing (that bound is loose — face overlap + the gnomonic
+    Lipschitz inflation — but 50× slack keeps the enumerate-and-dedup
+    cost trivial while letting the decision ride on the TRUE size).
+    A city polygon keeps ``res_max``; a continent drops to the res
+    where its covering is a few thousand broadcastable rows instead
+    of millions."""
+    import numpy as np
+
+    caps = _poly_caps(poly)
+    best = None
+    for r in range(res_max, -1, -1):
+        bound = sum(h3.cover_cap_count(la, lo, rm, r) for la, lo, rm in caps)
+        if bound > 50 * max_cells:
+            continue
+        cells = np.unique(
+            np.concatenate([h3.cover_cap(la, lo, rm, r) for la, lo, rm in caps])
+        )
+        best = (r, cells)
+        if len(cells) <= max_cells:
+            return best
+    if best is not None:
+        return best  # coarsest materialized (res 0 worst case: ~10² cells)
+    # unreachable in practice: res-0 enumeration is always tiny
+    cells = np.unique(
+        np.concatenate([h3.cover_cap(la, lo, rm, 0) for la, lo, rm in caps])
+    )
+    return 0, cells
+
+
+def res_for_polygon(poly, res_max: int, max_cells: int = 2048) -> int:
+    """Resolution ``_covering_for_polygon`` picks (see there)."""
+    return _covering_for_polygon(poly, res_max, max_cells)[0]
+
+
+def h3_covering_df(
+    spark: SparkSession, polygons, res: int, max_cells: int = 2048
+) -> DataFrame:
+    """(code, _h3r, _h3c) covering rows at each polygon's ADAPTIVE
+    resolution (``_covering_for_polygon``): every polygon's bbox is
+    enclosed by a union of ~square-chunk spherical caps and
+    ``cover_cap`` supersets each cap — so the covering is a superset
+    of every polygon point's cell at that polygon's ``_h3r``.  Total
+    size is O(|polygons| · max_cells): always broadcastable, never
+    the 10⁷-cell blow-up a fixed fine res gives a continent."""
+    rows = []
+    for poly in polygons:
+        r, cells = _covering_for_polygon(poly, res, max_cells)
+        for c in cells:
+            rows.append((poly.code, r, int(c)))
+    return spark.createDataFrame(rows, "code string, _h3r int, _h3c bigint")
+
+
+def h3_cells_udf(res_list: list[int]):
+    """Arrow-vectorized (lon, lat) → array of H3-class cell ids, one
+    per res in ``res_list`` (one Python pass stamps every needed
+    resolution — the multi-res ingest indexer)."""
+    rs = list(res_list)
+
+    @pandas_udf("array<long>")
+    def _udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        import numpy as np
+
+        la, lo = lat.to_numpy(), lon.to_numpy()
+        cols = np.stack([h3.latlng_to_cell(la, lo, r) for r in rs], axis=1)
+        return pd.Series(list(cols))
+
+    return _udf
+
+
+def pip_join_h3(
+    pages: DataFrame,
+    polygons,
+    res: int = 4,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    cell_col: str | None = None,
+    max_cover_cells: int = 2048,
+) -> DataFrame:
+    """pages ⋈ polygons over the H3-class covering: same output
+    contract as ``spatial_join.pip_join`` (pages columns + ``cell`` +
+    ``code``) and the same exact ray-cast refine — the flagship join
+    on its third index (quadgrid / S2 / H3 — engine-parity pinned in
+    tests/test_h3.py).
+
+    The covering is ADAPTIVE per polygon (``res_for_polygon``): big
+    polygons cover at a coarser res so the broadcast stays bounded
+    (the H3 analog of pip_join_s2's size-derived join level).  The
+    join is a single pass over pages: each page row explodes to its
+    cell at every resolution the covering actually uses (≤ res+1,
+    typically 1-3 values), then one broadcast equi-join on
+    (_h3r, _h3c).
+
+    ``cell_col`` names the stored pages-side index (zero Python at
+    query time): either a plain column holding res-``res`` ids (used
+    when a polygon covers at exactly ``res``) or a format string like
+    ``"h3_cell_r{res}"`` naming one stored column per resolution (the
+    multi-res ingest layout ``h3_cells_udf`` stamps)."""
+    from earth_data_kit_spark.operators.spatial_join import refine_predicate
+
+    spark = pages.sparkSession
+    cov_rows = [
+        (poly.code, r, int(c))
+        for poly in polygons
+        for r, cells in [_covering_for_polygon(poly, res, max_cover_cells)]
+        for c in cells
+    ]
+    cov = spark.createDataFrame(cov_rows, "code string, _h3r int, _h3c bigint")
+    res_used = sorted({r for _, r, _ in cov_rows})
+
+    def _cell_at(r: int):
+        if cell_col is None:
+            return None
+        if "{res}" in cell_col:
+            return F.col(cell_col.format(res=r))
+        if r == res:
+            return F.col(cell_col)
+        return None
+
+    if cell_col is None or any(_cell_at(r) is None for r in res_used):
+        # one Arrow pass stamps every needed res (no stored multi-res
+        # layout available)
+        arr = h3_cells_udf(res_used)(F.col(lon_col), F.col(lat_col))
+        pages = pages.withColumn("_h3all", arr)
+        structs = [
+            F.struct(
+                F.lit(r).cast("int").alias("_h3r"),
+                F.col("_h3all")[i].alias("_h3c"),
+            )
+            for i, r in enumerate(res_used)
+        ]
+    else:
+        structs = [
+            F.struct(F.lit(r).cast("int").alias("_h3r"), _cell_at(r).alias("_h3c"))
+            for r in res_used
+        ]
+    pages = pages.withColumn("_h3kv", F.explode(F.array(*structs)))
+    cand = (
+        pages.withColumn("_h3r", F.col("_h3kv._h3r"))
+        .withColumn("cell", F.col("_h3kv._h3c"))
+        .drop("_h3kv", "_h3all")
+        .withColumn("_h3c", F.col("cell"))
+        .join(F.broadcast(cov), ["_h3r", "_h3c"])
+        .drop("_h3r", "_h3c")
+    )
+    return cand.where(refine_predicate(polygons, lon_col, lat_col))
+
+
 def radius_join_h3(
     points: DataFrame,
     queries,

@@ -264,6 +264,73 @@ class TestKnnJoinH3:
         )
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
+    def test_pyramid_rollup_h3_matches_numpy_oracle(self, spark, pages_df):
+        """Aperture-7 rollup: Spark levels must equal a pure-numpy
+        recomputation (groupby base cells, fold h3.parent per level).
+        Every level's total equals the row count (each cell has
+        exactly ONE parent — the partition property), and per-cell
+        counts match the oracle exactly."""
+        import collections
+
+        import pyspark.sql.functions as F
+
+        from earth_data_kit_spark.operators.pyramid import pyramid_rollup_h3
+        from earth_data_kit_spark.operators.spatial_join_h3 import h3_cell_udf
+
+        res, min_res = 5, 2
+        pages = pages_df.withColumn(
+            "h3_cell", h3_cell_udf(res)(F.col("lon"), F.col("lat"))
+        )
+        got = {
+            (r.res, r.cell): r.n
+            for r in pyramid_rollup_h3(pages, "h3_cell", res, min_res).collect()
+        }
+        pdf = pages.select("lat", "lon").toPandas()
+        base = h3.latlng_to_cell(pdf["lat"].to_numpy(), pdf["lon"].to_numpy(), res)
+        total = len(base)
+        counts = collections.Counter(base.tolist())
+        want = {}
+        for r in range(res, min_res - 1, -1):
+            want.update({(r, c): n for c, n in counts.items()})
+            assert sum(counts.values()) == total  # partition property
+            if r > min_res:
+                nxt = collections.Counter()
+                cells = np.array(sorted(counts))
+                pars = h3.parent(cells)
+                for c, p in zip(cells, pars):
+                    nxt[int(p)] += counts[int(c)]
+                counts = nxt
+        assert got == want
+
+    def test_pip_join_parity_with_quadgrid_and_s2(self, spark, pages_df):
+        """The flagship join on its third index: H3-covered pip_join
+        returns exactly the quadgrid- and S2-covered joins' rows
+        (coverings differ entirely; all three refine exactly)."""
+        from earth_data_kit_spark.operators.spatial_join import Polygon, pip_join
+        from earth_data_kit_spark.operators.spatial_join_h3 import pip_join_h3
+        from earth_data_kit_spark.operators.spatial_join_s2 import pip_join_s2
+
+        polys = [
+            Polygon(code="US-E", name="us east", bbox=(-85.0, 30.0, -70.0, 45.0)),
+            Polygon(
+                code="ALPS",
+                name="alps-ish",
+                wkt="POLYGON ((5 44, 12 44, 14 47, 9 48, 5 46, 5 44))",
+            ),
+            Polygon(code="FJ", name="fiji wrap", bbox=(177.0, -20.0, -178.0, -15.0)),
+        ]
+        cols = ["url", "code"]
+        a = pip_join(pages_df, polys, res=6).select(*cols)
+        b = pip_join_s2(pages_df, polys, level=8).select(*cols)
+        c = pip_join_h3(pages_df, polys, res=4).select(*cols)
+        assert c.exceptAll(a).count() == 0 and a.exceptAll(c).count() == 0
+        assert c.exceptAll(b).count() == 0 and b.exceptAll(c).count() == 0
+        assert c.count() > 0
+        # plan shape: broadcast covering, never a nested loop
+        plan = c._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_stored_cell_column_zero_python_points_side(self, spark, pages_df, tmp_path):
         """At-scale layout: H3 cell ids stored at ingest; the query-
         time plan over the stored table has Python only on the QUERY
@@ -288,3 +355,89 @@ class TestKnnJoinH3:
         # the single ArrowEvalPython node is the query-side cover
         assert plan.count("ArrowEvalPython") <= 1
         assert out.count() == 3
+
+
+class TestAdaptiveCovering:
+    """pip_join_h3's per-polygon adaptive covering resolution — the
+    fix for the r6 finding that a continent covered at a fixed fine
+    res enumerates millions of cells (US bbox at res 4: ~10⁷ driver-
+    side rows, a 35× slower join than quadgrid)."""
+
+    def test_continent_covers_coarse_and_bounded(self):
+        from earth_data_kit_spark.operators.spatial_join import Polygon
+        from earth_data_kit_spark.operators.spatial_join_h3 import (
+            _covering_for_polygon,
+        )
+
+        usa = Polygon(code="US", name="usa", bbox=(-124.7, 24.5, -66.9, 49.4))
+        alb = Polygon(code="AL", name="albania", bbox=(19.3, 39.6, 21.0, 42.7))
+        r_us, cells_us = _covering_for_polygon(usa, 4, max_cells=2048)
+        r_al, cells_al = _covering_for_polygon(alb, 4, max_cells=2048)
+        assert r_us < 4  # continent drops resolution
+        assert r_al == 4  # small polygon keeps the requested res
+        assert len(cells_us) <= 2048
+        assert len(cells_al) <= 2048
+        # superset property at the CHOSEN res: random bbox points'
+        # cells are all in the covering
+        rng = np.random.default_rng(7)
+        lats = rng.uniform(24.5, 49.4, 50_000)
+        lons = rng.uniform(-124.7, -66.9, 50_000)
+        pc = h3.latlng_to_cell(lats, lons, r_us)
+        assert np.setdiff1d(pc, cells_us).size == 0
+
+    def test_pip_join_h3_adaptive_parity_with_quadgrid(self, spark, pages_df):
+        """Mixed continent + city polygons: the multi-res H3 join
+        (one scan, explode over the used resolutions, broadcast
+        equi-join on (res, cell)) returns exactly the quadgrid rows."""
+        from earth_data_kit_spark.operators.spatial_join import Polygon, pip_join
+        from earth_data_kit_spark.operators.spatial_join_h3 import pip_join_h3
+
+        polys = [
+            Polygon(code="US", name="usa", bbox=(-124.7, 24.5, -66.9, 49.4)),
+            Polygon(code="AL", name="albania", bbox=(19.3, 39.6, 21.0, 42.7)),
+            Polygon(code="FJ", name="fiji wrap", bbox=(177.0, -20.0, -178.0, -15.0)),
+        ]
+        cols = ["url", "code"]
+        a = pip_join(pages_df, polys, res=6).select(*cols)
+        c = pip_join_h3(pages_df, polys, res=4).select(*cols)
+        assert c.exceptAll(a).count() == 0 and a.exceptAll(c).count() == 0
+        assert c.count() > 0
+        plan = c._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_stored_multires_layout_zero_python_pages_side(
+        self, spark, pages_df, tmp_path
+    ):
+        """The multi-res ingest layout (h3_cells_udf stamps
+        h3_cell_r0..r4 once at write time): the query-time pip join
+        over the stored table plans ZERO Python nodes — covering is
+        driver-built broadcast rows, page cells come from stored
+        columns."""
+        import pyspark.sql.functions as F
+
+        from earth_data_kit_spark.operators.spatial_join import Polygon, pip_join
+        from earth_data_kit_spark.operators.spatial_join_h3 import (
+            h3_cells_udf,
+            pip_join_h3,
+        )
+
+        path = str(tmp_path / "pages_h3mr")
+        df = pages_df.withColumn(
+            "_a", h3_cells_udf([0, 1, 2, 3, 4])(F.col("lon"), F.col("lat"))
+        )
+        for r in range(5):
+            df = df.withColumn(f"h3_cell_r{r}", F.col("_a")[r])
+        df.drop("_a").write.parquet(path)
+        stored = spark.read.parquet(path)
+
+        polys = [
+            Polygon(code="US", name="usa", bbox=(-124.7, 24.5, -66.9, 49.4)),
+            Polygon(code="AL", name="albania", bbox=(19.3, 39.6, 21.0, 42.7)),
+        ]
+        out = pip_join_h3(stored, polys, res=4, cell_col="h3_cell_r{res}")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        want = pip_join(pages_df, polys, res=6).select("url", "code")
+        got = out.select("url", "code")
+        assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

@@ -65,6 +65,7 @@ QUERY_ORDER = [
     "events_window",
     "cosine_topk",
     "ann_ivf_stored",
+    "ann_ivfpq_stored",
     "hot_cell_unsalted",
     "hot_cell_salted",
     "regrid_halo",
@@ -560,6 +561,38 @@ def main() -> None:
         timed(
             "ann_ivf_stored",
             lambda: ivf_query_stored(indexed, cents, q, k=10, n_probe=8).collect(),
+        )
+
+    # q9c: ANN over the STORED IVF-PQ index (r6) — the compressed hot
+    # path: probed partitions read M smallint codes per vector, ADC
+    # scores from a per-(query,list) LUT, exact refine re-ranks a
+    # k·4 shortlist against the pruned full-vector table.  At 100 TB
+    # this is the ~32× less I/O configuration of ann_ivf_stored.
+    if need("ann_ivfpq_stored"):
+        from earth_data_kit_spark.operators.similarity_pq import (
+            build_ivfpq_index,
+            ivfpq_query_stored,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        pq_path = f"/tmp/edk_bench_ivfpq_{os.path.basename(SF_DIR)}"
+        if not os.path.exists(pq_path):
+            cents_pq, _ = build_ivfpq_index(emb, n_lists=64, out_dir=pq_path)
+        from earth_data_kit_spark.operators.similarity_pq import load_codebooks
+
+        codes_df = spark.read.parquet(f"{pq_path}/codes")
+        vecs_df = spark.read.parquet(f"{pq_path}/vectors")
+        cents_pq = pd.read_parquet(f"{pq_path}/centroids")
+        books = load_codebooks(pq_path)
+        qpq = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        timed(
+            "ann_ivfpq_stored",
+            lambda: ivfpq_query_stored(
+                codes_df, cents_pq, books, qpq, k=10, n_probe=8,
+                vectors=vecs_df,
+            ).collect(),
         )
 
     # q10/q10b: hot-key aggregation — the dense Tirana cell holds

@@ -74,6 +74,7 @@ QUERY_ORDER = [
     "stream_dedup_jvm",
     "txt_curation",
     "txt_paragraph_dedup",
+    "txt_dsir",
     "raster_terrain_zonal",
     "raster_regions",
 ]
@@ -849,6 +850,36 @@ def main() -> None:
             extras["paragraph_dedup_docs_per_sec"] = round(
                 n_pd / timings["txt_paragraph_dedup"], 1
             )
+
+    # q15b: DSIR importance resampling (r6) — fit two hashed n-gram
+    # models (bounded ≤n_buckets shuffles), map-only scoring over a
+    # ×16 corpus, Gumbel-top-n via the bucketed two-level rank.  The
+    # target is the label-0 slice; timing covers fit + score + select.
+    if need("txt_dsir"):
+        from earth_data_kit_spark.operators.dsir import dsir_resample
+
+        def _dsir():
+            d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            big = reduce(
+                lambda a, b: a.union(b),
+                [
+                    d.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+                    for i in range(16)
+                ],
+            )
+            tgt = d.where(F.pmod(F.col("doc_id"), F.lit(7)) == 0)
+            out = dsir_resample(
+                big, tgt, n=1000, text_col="text", id_col="doc_id",
+                n_buckets=1 << 14,
+            )
+            got = out.agg(F.count("*").alias("n")).collect()
+            assert got[0]["n"] == 1000
+            return got
+
+        timed("txt_dsir", _dsir)
+        if "txt_dsir" in timings:
+            n_ds = spark.read.parquet(f"{SF_DIR}/documents.parquet").count() * 16
+            extras["dsir_docs_per_sec"] = round(n_ds / timings["txt_dsir"], 1)
 
     # q16: raster-engine composite (r5) — 8192² DEM blocks → Horn
     # slope via strip halo exchange → per-polygon zonal stats

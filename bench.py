@@ -75,6 +75,7 @@ QUERY_ORDER = [
     "txt_curation",
     "txt_paragraph_dedup",
     "txt_dsir",
+    "txt_substring_dedup",
     "raster_terrain_zonal",
     "raster_regions",
 ]
@@ -849,6 +850,40 @@ def main() -> None:
             n_pd = spark.read.parquet(f"{SF_DIR}/documents.parquet").count() * 16
             extras["paragraph_dedup_docs_per_sec"] = round(
                 n_pd / timings["txt_paragraph_dedup"], 1
+            )
+
+    # q15c: exact-substring dedup (r6, Lee et al. 2022 semantics) —
+    # the ×16 replicas make every ≥k-token window a 16-way duplicate,
+    # so the row measures the full pipeline at worst-case duplication:
+    # window-hash pass + keeper agg + span cut.
+    if need("txt_substring_dedup"):
+        from earth_data_kit_spark.operators.substring_dedup import substring_dedup
+
+        def _subdedup():
+            d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            big = reduce(
+                lambda a, b: a.union(b),
+                [
+                    d.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+                    for i in range(16)
+                ],
+            )
+            out = (
+                substring_dedup(big, k=20)
+                .agg(
+                    F.sum("n_removed_chars").alias("c"),
+                    F.count("*").alias("n"),
+                )
+                .collect()
+            )
+            assert out[0]["c"] > 0, "replica windows not deduplicated"
+            return out
+
+        timed("txt_substring_dedup", _subdedup)
+        if "txt_substring_dedup" in timings:
+            n_sd = spark.read.parquet(f"{SF_DIR}/documents.parquet").count() * 16
+            extras["substring_dedup_docs_per_sec"] = round(
+                n_sd / timings["txt_substring_dedup"], 1
             )
 
     # q15b: DSIR importance resampling (r6) — fit two hashed n-gram

@@ -109,6 +109,29 @@ def dsir_log_weight_udf(
     return _w
 
 
+def cross_entropy_udf(target_counts: np.ndarray, smoothing: float = 1.0):
+    """Per-token cross-entropy of a document under the hashed n-gram
+    TARGET model — the CCNet-style quality signal (Wenzek et al. 2020
+    bucket corpora by target-LM perplexity; a hashed unigram+bigram
+    bag model is the engine-native stand-in for KenLM, which isn't in
+    this environment).  Lower = more target-like.  Map-only Arrow
+    pass; the log-prob vector ships in the closure.  Empty docs score
+    +inf-ish via the uniform-model entropy."""
+    n_buckets = len(target_counts)
+    p = (target_counts + smoothing) / (target_counts.sum() + smoothing * n_buckets)
+    logp = np.log(p)
+    uniform = float(-np.log(1.0 / n_buckets))
+
+    @F.pandas_udf("double")
+    def _ce(texts: pd.Series) -> pd.Series:
+        out = []
+        for ids in _hash_ngrams(texts, n_buckets):
+            out.append(float(-logp[ids].mean()) if len(ids) else uniform)
+        return pd.Series(out)
+
+    return _ce
+
+
 def _gumbel_col(key: Column, salt: str) -> Column:
     """Deterministic Gumbel(0,1) noise from a content hash: u =
     md5-derived uniform in (0,1), g = -log(-log u).  Pure Column

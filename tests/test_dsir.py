@@ -114,3 +114,34 @@ class TestResample:
         plan = sel._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" in plan
         assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+class TestCrossEntropy:
+    def test_matches_closed_form_and_orders_styles(self, spark, corpus, target):
+        tc = dsir.fit_hashed_counts(target, "text", B)
+        ce = dsir.cross_entropy_udf(tc, smoothing=1.0)
+        got = {
+            r["doc_id"]: (r["style"], r["ce"])
+            for r in corpus.select(
+                "doc_id", "style", ce(F.col("text")).alias("ce")
+            ).collect()
+        }
+        p = (tc + 1.0) / (tc.sum() + B)
+        logp = np.log(p)
+        pdf = corpus.toPandas()
+        for _, row in pdf.iterrows():
+            ids = _py_hash_ngrams(row["text"])
+            want = float(-np.mean([logp[b] for b in ids]))
+            assert got[row["doc_id"]][1] == pytest.approx(want, rel=1e-12)
+        # CCNet-style separation: every sci doc scores lower CE under
+        # the sci target model than every spam doc
+        sci = [v for s, v in got.values() if s == "sci"]
+        spam = [v for s, v in got.values() if s == "spam"]
+        assert max(sci) < min(spam)
+
+    def test_empty_doc_scores_uniform_entropy(self, spark, target):
+        tc = dsir.fit_hashed_counts(target, "text", B)
+        ce = dsir.cross_entropy_udf(tc)
+        df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+        got = df.select(ce(F.col("text")).alias("ce")).first()["ce"]
+        assert got == pytest.approx(float(np.log(B)))

@@ -853,7 +853,7 @@ def main() -> None:
             )
 
     # q15c: exact-substring dedup (r6, Lee et al. 2022 semantics) —
-    # the ×16 replicas make every ≥k-token window a 16-way duplicate,
+    # the ×4 replicas make every ≥k-token window a 4-way duplicate,
     # so the row measures the full pipeline at worst-case duplication:
     # window-hash pass + keeper agg + span cut.
     if need("txt_substring_dedup"):
@@ -865,7 +865,7 @@ def main() -> None:
                 lambda a, b: a.union(b),
                 [
                     d.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
-                    for i in range(16)
+                    for i in range(4)
                 ],
             )
             out = (
@@ -881,7 +881,7 @@ def main() -> None:
 
         timed("txt_substring_dedup", _subdedup)
         if "txt_substring_dedup" in timings:
-            n_sd = spark.read.parquet(f"{SF_DIR}/documents.parquet").count() * 16
+            n_sd = spark.read.parquet(f"{SF_DIR}/documents.parquet").count() * 4
             extras["substring_dedup_docs_per_sec"] = round(
                 n_sd / timings["txt_substring_dedup"], 1
             )

@@ -8,6 +8,11 @@ logic):
   2. decontam   — broadcast 13-gram probe against an eval set: drop
                   benchmark leakage;
   3. dedup      — exact content dedup (md5 groupBy, keep min id);
+  3b. substring — optional (--substring-k): exact-substring dedup,
+                  Lee et al. 2022 semantics (operators/substring_dedup);
+  3c. select    — optional (--dsir-n + --dsir-target-source): DSIR
+                  importance resampling toward a target slice
+                  (operators/dsir);
   4. pack       — shard-parallel FFD into fixed token budgets.
 
 Prints ONE JSON line with per-stage survivor counts and the packing
@@ -39,6 +44,9 @@ def run(
     eval_snippets: int = 3,
     work_dir: str | None = None,
     job_id: str = "curate",
+    substring_k: int = 0,
+    dsir_n: int = 0,
+    dsir_target_source: str | None = None,
 ) -> dict:
     """``work_dir=None`` runs the funnel in-memory (one spark-submit,
     no artifacts).  With a ``work_dir`` every stage commits its output
@@ -118,11 +126,44 @@ def run(
         unique = _commit(unique, "dedup")
     n_unique = unique.count()
 
+    # ---- stage 3b (optional): exact-substring dedup ---------------------
+    n_substring = None
+    n_removed_chars = None
+    if substring_k:
+        from earth_data_kit_spark.operators.substring_dedup import substring_dedup
+
+        scrubbed = substring_dedup(unique, k=substring_k)
+        n_removed_chars = int(
+            scrubbed.agg(F.sum("n_removed_chars").alias("c")).first()["c"] or 0
+        )
+        unique = scrubbed.drop("n_removed_chars", "n_spans")
+        if work_dir:
+            unique = _commit(unique, "substring")
+        n_substring = unique.count()
+
+    # ---- stage 3c (optional): DSIR selection toward a target slice ------
+    n_selected = None
+    if dsir_n:
+        from earth_data_kit_spark.operators.dsir import dsir_resample
+
+        target = (
+            unique.where(F.col("source") == dsir_target_source)
+            if dsir_target_source
+            else unique
+        )
+        unique = dsir_resample(
+            unique, target, n=dsir_n, text_col="text", id_col="doc_id",
+            n_buckets=1 << 14,
+        ).drop("dsir_log_w", "dsir_rank")
+        if work_dir:
+            unique = _commit(unique, "select")
+        n_selected = unique.count()
+
     # ---- stage 4: sequence packing -------------------------------------
     packed = pack_sequences(unique, max_tokens, shards=32)
     st = packing_stats(packed, max_tokens).collect()[0]
 
-    return {
+    out = {
         "metric": "curation_funnel",
         "docs_in": n_in,
         "after_quality": n_quality,
@@ -133,6 +174,12 @@ def run(
         "oversize_seqs": st.n_oversize,
         "max_tokens": max_tokens,
     }
+    if n_substring is not None:
+        out["after_substring"] = n_substring
+        out["substring_removed_chars"] = n_removed_chars
+    if n_selected is not None:
+        out["after_select"] = n_selected
+    return out
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -146,12 +193,22 @@ def main(argv: list[str] | None = None) -> None:
         help="commit per-stage output + lineage here; re-runs skip "
         "committed partitions (omit for the in-memory one-shot)",
     )
+    ap.add_argument("--substring-k", type=int, default=0,
+                    help="exact-substring dedup window (0 = stage off)")
+    ap.add_argument("--dsir-n", type=int, default=0,
+                    help="DSIR selection size (0 = stage off)")
+    ap.add_argument("--dsir-target-source", default=None,
+                    help="source value defining the DSIR target slice")
     args = ap.parse_args(argv)
 
     from earth_data_kit_spark.session import get_spark
 
     spark = get_spark(app_name="edk-curate", cpus=args.cpus)
-    out = run(spark, args.sf_dir, max_tokens=args.max_tokens, work_dir=args.work_dir)
+    out = run(
+        spark, args.sf_dir, max_tokens=args.max_tokens, work_dir=args.work_dir,
+        substring_k=args.substring_k, dsir_n=args.dsir_n,
+        dsir_target_source=args.dsir_target_source,
+    )
     print(json.dumps(out))
     spark.stop()
 

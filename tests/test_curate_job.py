@@ -39,3 +39,26 @@ def test_funnel_resumable_with_lineage(spark, tmp_path):
     out2 = run(spark, SF, max_tokens=512, work_dir=wd)
     assert out2 == out1
     assert spark.read.parquet(f"{wd}/lineage").count() == n_lineage_rows
+
+
+def test_funnel_with_substring_and_dsir_stages(spark):
+    """The optional r6 stages compose: substring dedup scrubs
+    cross-doc duplicated spans before selection, DSIR keeps exactly n
+    docs biased toward the target source slice; counts stay monotone
+    and the stats carry the new stages."""
+    from jobs.curate import run
+
+    out = run(
+        spark, "/root/testdata/sf0.001", max_tokens=512,
+        substring_k=8, dsir_n=50, dsir_target_source="src1",
+    )
+    assert out["after_substring"] == out["after_dedup"]  # no docs dropped
+    assert out["substring_removed_chars"] >= 0
+    assert out["after_select"] == 50
+    assert out["after_select"] <= out["after_substring"] <= out["after_dedup"]
+    # deterministic: same flags, same result
+    out2 = run(
+        spark, "/root/testdata/sf0.001", max_tokens=512,
+        substring_k=8, dsir_n=50, dsir_target_source="src1",
+    )
+    assert out == out2

@@ -465,6 +465,69 @@ def _ring_offsets(n: int):
     return out
 
 
+def uncompact(cids, res: int):
+    """All res-cells that can contain a point of any input cell — the
+    H3 ``uncompact`` verb (coarse covering → fine covering), fully
+    vectorized.
+
+    Superset argument (per input cell C at res r ≤ res, face f): a
+    point p in hex C projects within pitch(r)/√3 planar of C's center
+    on p's HOME face — which is f, because a point's home face is the
+    same at every resolution — and p's res-cell center is within
+    pitch(res)/√3 of p's projection.  So every reachable res-cell
+    center lies in the planar disk of radius pitch(r)/√3 +
+    pitch(res)/√3 (+ slack) around C's center, on face f; enumerating
+    the res-lattice over that disk is a guaranteed superset.  ~7^Δres
+    cells per input (+ rim).  Returns int64 array (deduped)."""
+    cids = np.asarray(cids, dtype=np.int64)
+    if cids.size == 0:
+        return cids
+    rr, face, _, _ = unpack(cids)
+    if np.any(rr > res):
+        raise ValueError("uncompact target res must be >= every input res")
+    # planar centers of the input cells (per-row res)
+    sz = PITCH0 * SQRT7 ** (-rr.astype(np.float64)) / SQRT3
+    _, _, ii, jj = unpack(cids)
+    ang = rr.astype(np.float64) * ROT7
+    c, s = np.cos(ang), np.sin(ang)
+    x = sz * SQRT3 * (ii + jj / 2.0)
+    y = sz * 1.5 * jj
+    u0 = c * x - s * y
+    v0 = s * x + c * y
+    out = []
+    p_fine = pitch(res)
+    for r in np.unique(rr):
+        m = rr == r
+        rad = pitch(int(r)) / SQRT3 * 1.0001 + p_fine / SQRT3 * 1.0001 + 1e-12
+        nring = int(math.ceil(rad / (p_fine * SQRT3 / 2.0))) + 2
+        dis, djs = _ring_offsets(nring)
+        # fractional axial of each coarse center in the FINE lattice
+        qf, rf = _uv_to_axial_frac(u0[m], v0[m], res)
+        q0, r0 = _cube_round(qf, rf)
+        qq = (q0[:, None] + dis[None, :]).ravel()
+        rj = (r0[:, None] + djs[None, :]).ravel()
+        ff = np.repeat(face[m], dis.size)
+        # clip to the disk (the ring enumeration is square-ish in hex
+        # distance; the planar check tightens the rim)
+        uu, vv = _axial_to_uv(qq.astype(np.float64), rj.astype(np.float64), res)
+        du = uu - np.repeat(u0[m], dis.size)
+        dv = vv - np.repeat(v0[m], dis.size)
+        keep = np.hypot(du, dv) <= rad + p_fine / SQRT3
+        # face clip (same bound as cover_cap): reachable fine-cell
+        # centers lie within tan(VERTEX_ANG) + pitch/√3 of the face
+        # center — drops phantom rim positions that no point maps to
+        keep &= np.hypot(uu, vv) <= math.tan(VERTEX_ANG) + p_fine / SQRT3 * 1.0001
+        out.append(
+            pack(
+                np.full(keep.sum(), res, dtype=np.int64),
+                ff[keep],
+                qq[keep],
+                rj[keep],
+            )
+        )
+    return np.unique(np.concatenate(out))
+
+
 def k_ring(cid: int, k: int):
     """Cells within ~k steps of ``cid`` — geometric ring: cover_cap
     around the center with radius k on-sphere pitches (cross-face

@@ -239,7 +239,7 @@ def _poly_caps(poly) -> list[tuple[float, float, float]]:
 
 
 def _covering_for_polygon(
-    poly, res_max: int, max_cells: int = 2048
+    poly, res_max: int, max_cells: int = 8192
 ) -> tuple[int, "object"]:
     """(res, unique covering cells) at the FINEST res ≤ ``res_max``
     whose actual unique covering stays ≤ ``max_cells``.  Walks fine →
@@ -274,13 +274,13 @@ def _covering_for_polygon(
     return 0, cells
 
 
-def res_for_polygon(poly, res_max: int, max_cells: int = 2048) -> int:
+def res_for_polygon(poly, res_max: int, max_cells: int = 8192) -> int:
     """Resolution ``_covering_for_polygon`` picks (see there)."""
     return _covering_for_polygon(poly, res_max, max_cells)[0]
 
 
 def h3_covering_df(
-    spark: SparkSession, polygons, res: int, max_cells: int = 2048
+    spark: SparkSession, polygons, res: int, max_cells: int = 8192
 ) -> DataFrame:
     """(code, _h3r, _h3c) covering rows at each polygon's ADAPTIVE
     resolution (``_covering_for_polygon``): every polygon's bbox is
@@ -321,7 +321,7 @@ def pip_join_h3(
     lon_col: str = "lon",
     lat_col: str = "lat",
     cell_col: str | None = None,
-    max_cover_cells: int = 2048,
+    max_cover_cells: int = 8192,
 ) -> DataFrame:
     """pages ⋈ polygons over the H3-class covering: same output
     contract as ``spatial_join.pip_join`` (pages columns + ``cell`` +
@@ -338,56 +338,78 @@ def pip_join_h3(
     (_h3r, _h3c).
 
     ``cell_col`` names the stored pages-side index (zero Python at
-    query time): either a plain column holding res-``res`` ids (used
-    when a polygon covers at exactly ``res``) or a format string like
-    ``"h3_cell_r{res}"`` naming one stored column per resolution (the
-    multi-res ingest layout ``h3_cells_udf`` stamps)."""
+    query time): a plain column holding res-``res`` ids, or a format
+    string like ``"h3_cell_r{res}"`` (the multi-res ingest layout
+    ``h3_cells_udf`` stamps — only the res-``res`` column is read).
+
+    The pages side joins ONE narrow key: each polygon's adaptive
+    coarse covering (bounded driver work even for continents) is
+    UNCOMPACTED to res-``res`` cells (``h3.uncompact`` — vectorized,
+    superset-proved) so the join is a single broadcast equi-join on
+    the stored column — no pages-side explode, no multi-column scan
+    (the r6 first cut exploded pages × |res_used| and scanned three
+    ancestor columns: 2× slower at sf0.1)."""
+    import math as m
+
+    import numpy as np
+
     from earth_data_kit_spark.operators.spatial_join import refine_predicate
+    from earth_data_kit_spark.grid import geom
+
+    # a page in the bbox has its res-cell center within one on-sphere
+    # cell circumradius of a bbox point, so clipping covering cells to
+    # the circumradius-inflated bbox preserves the superset while
+    # dropping the cap covering's π·r² vs 2rx·2ry slop (plus the
+    # uncompact rim) — the step that brings hex candidate volume down
+    # to the quadgrid covering's
+    rad_deg = m.degrees(h3.pitch(res) / h3.SQRT3 * 1.01) + 1e-6
+
+    def _bbox_of(poly):
+        if poly.bbox is not None:
+            return poly.bbox
+        shell, _ = geom.parse_wkt_polygon(poly.wkt)
+        xs = [q[0] for q in shell]
+        ys = [q[1] for q in shell]
+        return min(xs), min(ys), max(xs), max(ys)
+
+    def _clip(cells, poly):
+        clat, clon = h3.cell_center(cells)
+        xmin, ymin, xmax, ymax = _bbox_of(poly)
+        boxes = (
+            [(xmin, ymin, xmax, ymax)]
+            if xmin <= xmax
+            else [(xmin, ymin, 180.0, ymax), (-180.0, ymin, xmax, ymax)]
+        )
+        keep = np.zeros(len(cells), dtype=bool)
+        for bx in boxes:
+            dlon = rad_deg / max(0.05, m.cos(m.radians(max(abs(bx[1]), abs(bx[3])))))
+            lat_ok = (clat >= bx[1] - rad_deg) & (clat <= bx[3] + rad_deg)
+            lon_ok = np.zeros(len(cells), dtype=bool)
+            for shift in (-360.0, 0.0, 360.0):  # centers wrapped across ±180
+                lon_ok |= (clon + shift >= bx[0] - dlon) & (clon + shift <= bx[2] + dlon)
+            keep |= lat_ok & lon_ok
+        return cells[keep]
 
     spark = pages.sparkSession
     cov_rows = [
-        (poly.code, r, int(c))
+        (poly.code, int(c))
         for poly in polygons
-        for r, cells in [_covering_for_polygon(poly, res, max_cover_cells)]
-        for c in cells
+        for _, cells in [_covering_for_polygon(poly, res, max_cover_cells)]
+        for c in _clip(np.unique(h3.uncompact(cells, res)), poly)
     ]
-    cov = spark.createDataFrame(cov_rows, "code string, _h3r int, _h3c bigint")
-    res_used = sorted({r for _, r, _ in cov_rows})
+    cov = spark.createDataFrame(cov_rows, "code string, _h3c bigint")
 
-    def _cell_at(r: int):
-        if cell_col is None:
-            return None
-        if "{res}" in cell_col:
-            return F.col(cell_col.format(res=r))
-        if r == res:
-            return F.col(cell_col)
-        return None
-
-    if cell_col is None or any(_cell_at(r) is None for r in res_used):
-        # one Arrow pass stamps every needed res (no stored multi-res
-        # layout available)
-        arr = h3_cells_udf(res_used)(F.col(lon_col), F.col(lat_col))
-        pages = pages.withColumn("_h3all", arr)
-        structs = [
-            F.struct(
-                F.lit(r).cast("int").alias("_h3r"),
-                F.col("_h3all")[i].alias("_h3c"),
-            )
-            for i, r in enumerate(res_used)
-        ]
+    if cell_col is None:
+        pages = pages.withColumn(
+            "_h3c", h3_cell_udf(res)(F.col(lon_col), F.col(lat_col))
+        )
     else:
-        structs = [
-            F.struct(F.lit(r).cast("int").alias("_h3r"), _cell_at(r).alias("_h3c"))
-            for r in res_used
-        ]
-    pages = pages.withColumn("_h3kv", F.explode(F.array(*structs)))
+        name = cell_col.format(res=res) if "{res}" in cell_col else cell_col
+        pages = pages.withColumn("_h3c", F.col(name))
     cand = (
-        pages.withColumn("_h3r", F.col("_h3kv._h3r"))
-        .withColumn("cell", F.col("_h3kv._h3c"))
-        .drop("_h3kv", "_h3all")
-        .withColumn("_h3c", F.col("cell"))
-        .join(F.broadcast(cov), ["_h3r", "_h3c"])
-        .drop("_h3r", "_h3c")
+        pages.join(F.broadcast(cov), "_h3c")
+        .withColumn("cell", F.col("_h3c"))
+        .drop("_h3c")
     )
     return cand.where(refine_predicate(polygons, lon_col, lat_col))
 

@@ -377,8 +377,6 @@ def _q_geo_pip_table(spark, sf_dir):
     The table mixes rectangle rows (COUNTRIES) with a concave+holed
     WKT row, so both refine branches run.  Oracle: rect containment
     UNION the concave rectangle decomposition."""
-    import pandas as pd
-
     from earth_data_kit_spark.operators import spatial_join as sj
 
     pages = _pages(spark, sf_dir)
@@ -386,10 +384,11 @@ def _q_geo_pip_table(spark, sf_dir):
         (c, None, float(x0), float(y0), float(x1), float(y1))
         for c, _, x0, y0, x1, y1 in COUNTRIES
     ] + [("CC", CONCAVE_WKT, None, None, None, None)]
+    # list-of-tuples, not pandas: real NULLs regardless of the session's
+    # Arrow setting (the r6 driver ran without Arrow; pandas None in
+    # double columns arrived as NaN and broke the isNull bbox gates)
     polys_df = spark.createDataFrame(
-        pd.DataFrame(
-            rows, columns=["code", "wkt", "xmin", "ymin", "xmax", "ymax"]
-        ),
+        rows,
         "code string, wkt string, xmin double, ymin double, "
         "xmax double, ymax double",
     )

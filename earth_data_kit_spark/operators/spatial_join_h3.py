@@ -382,7 +382,20 @@ def pip_join_h3(
         )
         keep = np.zeros(len(cells), dtype=bool)
         for bx in boxes:
-            dlon = rad_deg / max(0.05, m.cos(m.radians(max(abs(bx[1]), abs(bx[3])))))
+            # longitude margin sized at the rad-inflated edge latitude
+            # with NO floor (ADVICE r6 high): the old max(0.05, cos(lat))
+            # floor under-covered above ~87° — a covering cell's center
+            # can sit far outside dlon while the cell still contains
+            # in-bbox points, silently breaking the superset contract.
+            # When the inflated band reaches the pole the longitude
+            # test is meaningless: keep every longitude.
+            lat_edge = min(89.99, max(abs(bx[1]), abs(bx[3])) + rad_deg)
+            coslat = m.cos(m.radians(lat_edge))
+            dlon = (
+                360.0
+                if m.sin(m.radians(rad_deg)) >= coslat
+                else rad_deg / coslat
+            )
             lat_ok = (clat >= bx[1] - rad_deg) & (clat <= bx[3] + rad_deg)
             lon_ok = np.zeros(len(cells), dtype=bool)
             for shift in (-360.0, 0.0, 360.0):  # centers wrapped across ±180

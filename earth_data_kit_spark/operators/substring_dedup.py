@@ -4,33 +4,51 @@ distributed Spark pipeline.
 
 The paper removes every duplicated ≥50-token substring from the
 corpus, keeping one occurrence, via a monolithic suffix array.  The
-distributed equivalent here hashes every k-token window with a
-64-bit polynomial rolling hash and resolves duplicates relationally:
+distributed equivalent here hashes every k-token window with TWO
+independent 64-bit polynomial rolling hashes and resolves duplicates
+relationally:
 
-1. window pass (map-only Arrow UDF): per doc, tokenize with char
-   offsets and emit (hash, start_char, end_char) for each k-token
+1. window pass (map-only ``mapInArrow``): per doc, tokenize with char
+   offsets and emit (h, h2, start_char, end_char) for each k-token
    window — one row per token position, the same O(corpus tokens)
-   volume a suffix array indexes;
-2. duplicate detection (shuffle 1, on the 8-byte hash): document
-   frequency per window hash; hashes seen at >1 position keep their
-   GLOBAL KEEPER occurrence = min(doc_id, start) — the deterministic
-   stand-in for the paper's "first" occurrence;
+   volume a suffix array indexes.  The hashes are computed VECTORIZED
+   (prefix-sum polynomial hashing over the code-point array — no
+   per-byte python loop, r7 optimization: the r6 per-token FNV loop
+   was the row's dominant cost), and the output batches are built as
+   Arrow arrays directly (no per-window python dicts).
+2. duplicate detection (shuffle 1, on the 16-byte (h, h2) key):
+   occurrence count per window; windows seen at >1 position keep
+   their GLOBAL KEEPER occurrence = min(doc_id, start) — the
+   deterministic stand-in for the paper's "first" occurrence.
+   Keying on two independent 64-bit hashes makes a false-positive
+   cut require a simultaneous collision in both (≈2⁻¹²⁸ per pair):
+   at 10¹³ windows the expected number of false cuts is ~10⁻¹²,
+   i.e. the "exact" in the name is honest at any corpus size
+   (a single 64-bit key would expect ~10⁶ birthday collisions
+   there — ADVICE r6).
 3. span assembly (shuffle 2, on doc_id): every non-keeper occurrence
    of a duplicated window marks its char span for removal; per doc
    the spans are merged (overlapping duplicate windows from one
    shared passage collapse to a single cut) and the text is rebuilt
-   in one Arrow pass.
+   in one Arrow pass.  Whitespace is normalized ONLY at the cut
+   seams (one space per seam) — bytes far from any duplicate span
+   are preserved exactly, the paper's semantics (ADVICE r6: the r6
+   cut reflowed the whole document).
 
 A shared passage of L tokens yields L−k+1 duplicated windows whose
 merged span is exactly the passage, so the keeper doc keeps it intact
-and every other doc loses precisely the shared chars — the paper's
-semantics, pinned against a brute-force python oracle in
+and every other doc loses precisely the shared chars — pinned against
+a brute-force literal-token-tuple python oracle in
 tests/test_substring_dedup.py.
 
 Scale shape: the window table is the honest cost of EXACT substring
-dedup (corpus-token-sized, shuffled once on uniform 64-bit keys; the
-suffix-array build moves the same bytes through a single machine's
-RAM instead).  ``max_occurrences`` caps degenerate windows (empty/
+dedup (corpus-token-sized, 32 B/row, shuffled once on uniform keys;
+the suffix-array build moves the same bytes through a single
+machine's RAM instead).  The window table is persisted so the
+tokenize+hash pass runs once while feeding both the occurrence
+aggregation and the marked-span join (caller-owned cache lifetime,
+the minhash-signature convention; at 100 TB this is a checkpointed
+stage).  ``max_occurrences`` caps degenerate windows (empty/
 boilerplate explosions — the max_bucket pattern from the LSH family);
 capped hashes are treated as boilerplate and removed from every doc
 INCLUDING the would-be keeper, reported separately.
@@ -38,68 +56,142 @@ INCLUDING the would-be keeper, reported separately.
 
 from __future__ import annotations
 
+import re
+from typing import Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_B = np.uint64(1099511628211)  # FNV-ish odd multiplier for the rolling hash
+_B = 1099511628211  # FNV-ish odd multiplier for the rolling hash
+_B2 = 2862933555777941757  # second independent odd multiplier (LCG mult)
+_LEN_MIX = np.uint64(0x9E3779B97F4A7C15)
 _WORD_RE = r"[^\s]+"
+_PAT = re.compile(_WORD_RE)
+
+_U64 = 1 << 64
 
 
-def _token_spans(text: str):
-    import re
+class _PowCache:
+    """Growing per-process cache of B^i / B^-i (mod 2^64) power
+    tables — one pair per multiplier, shared by every batch a reused
+    python worker processes."""
 
-    return [(m.start(), m.end(), m.group()) for m in re.finditer(_WORD_RE, text or "")]
+    def __init__(self, mult: int):
+        self.mult = np.uint64(mult)
+        self.inv = np.uint64(pow(mult, -1, _U64))
+        self.fw = np.array([1], dtype=np.uint64)
+        self.bw = np.array([1], dtype=np.uint64)
 
-
-def _window_rows(text: str, k: int):
-    """(hash, start_char, end_char) per k-token window — rolling
-    polynomial over per-token md5-free 64-bit FNV hashes (numpy
-    wraparound arithmetic, stable across processes)."""
-    toks = _token_spans(text)
-    n = len(toks)
-    if n < k:
-        return np.empty((0, 3), dtype=np.int64)
-    th = np.empty(n, dtype=np.uint64)
-    for i, (_, _, w) in enumerate(toks):
-        h = np.uint64(14695981039346656037)
-        for b in w.encode():
-            h = (h ^ np.uint64(b)) * _B
-        th[i] = h
-    # polynomial window hash: Σ th[i+j] · B^(k-1-j); computed per
-    # window vectorized (k ≤ ~100: one (n-k+1, k) gather)
-    idx = np.arange(n - k + 1)[:, None] + np.arange(k)[None, :]
-    pw = np.empty(k, dtype=np.uint64)
-    pw[-1] = np.uint64(1)
-    for j in range(k - 2, -1, -1):
-        pw[j] = pw[j + 1] * _B
-    wh = (th[idx] * pw[None, :]).sum(axis=1, dtype=np.uint64)
-    starts = np.array([toks[i][0] for i in range(n - k + 1)], dtype=np.int64)
-    ends = np.array([toks[i + k - 1][1] for i in range(n - k + 1)], dtype=np.int64)
-    return np.stack([wh.view(np.int64), starts, ends], axis=1)
-
-
-def _windows_udf(k: int):
-    @F.pandas_udf("array<struct<h: bigint, s: int, e: int>>")
-    def _w(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            rows = _window_rows(t, k)
-            out.append(
-                [
-                    {"h": int(h), "s": int(s), "e": int(e)}
-                    for h, s, e in rows
-                ]
+    def grow(self, n: int) -> tuple[np.ndarray, np.ndarray]:
+        if len(self.fw) <= n:
+            m = max(n + 1, 2 * len(self.fw))
+            fw = np.empty(m, dtype=np.uint64)
+            bw = np.empty(m, dtype=np.uint64)
+            fw[0] = bw[0] = 1
+            np.multiply.accumulate(
+                np.full(m - 1, self.mult, dtype=np.uint64), out=fw[1:]
             )
-        return pd.Series(out)
+            np.multiply.accumulate(
+                np.full(m - 1, self.inv, dtype=np.uint64), out=bw[1:]
+            )
+            self.fw, self.bw = fw, bw
+        return self.fw, self.bw
 
-    return _w
+
+_POWS = {_B: _PowCache(_B), _B2: _PowCache(_B2)}
+
+
+def _poly_window_hashes(
+    u: np.ndarray, s: np.ndarray, e: np.ndarray, k: int, mult: int
+) -> np.ndarray:
+    """Window hashes for one multiplier, fully vectorized.
+
+    Token hash  th[i] = Σ_j u[j]·B^(e−1−j) over the token's code
+    points (+ length mix), via prefix sums with the modular inverse:
+    P[i] = Σ_{j<i} u[j]·B⁻ʲ  ⇒  th = (P[e]−P[s])·B^(e−1).
+    Window hash wh[i] = Σ_j th[i+j]·B^(k−1−j), same trick one level
+    up.  All uint64 wraparound arithmetic — stable across processes.
+    """
+    n = len(s)
+    pc = _POWS[mult]
+    fw, bw = pc.grow(max(len(u), n + k))
+    P = np.zeros(len(u) + 1, dtype=np.uint64)
+    np.cumsum(u * bw[: len(u)], out=P[1:])
+    th = (P[e] - P[s]) * fw[e - 1]
+    th += (e - s).astype(np.uint64) * _LEN_MIX
+    Q = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(th * bw[:n], out=Q[1:])
+    return (Q[k:] - Q[:-k]) * fw[k - 1 : n]
+
+
+def _window_cols(text: str, k: int):
+    """(h, h2, start_char, end_char) arrays for every k-token window
+    of ``text`` — the vectorized twin of the oracle's literal token
+    tuples (equality on (h, h2) ⇔ equality of the token tuple up to a
+    ~2⁻¹²⁸ double collision)."""
+    text = text or ""
+    spans = [(m.start(), m.end()) for m in _PAT.finditer(text)]
+    n = len(spans)
+    empty = np.empty(0, dtype=np.int64)
+    if n < k:
+        return empty, empty, empty, empty
+    se = np.asarray(spans, dtype=np.int64)
+    u = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    s, e = se[:, 0], se[:, 1]
+    h1 = _poly_window_hashes(u, s, e, k, _B).view(np.int64)
+    h2 = _poly_window_hashes(u, s, e, k, _B2).view(np.int64)
+    return h1, h2, s[: n - k + 1], se[k - 1 :, 1]
+
+
+def _windows_map_arrow(k: int, id_field: str):
+    """mapInArrow stage 1: (id, text) batches → (id, h, h2, s, e)
+    rows, one per k-token window.  Output Arrow arrays are built
+    column-wise from numpy — zero per-window python objects."""
+    import pyarrow as pa
+
+    def _gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            hs, h2s, ss, es, counts = [], [], [], [], []
+            for t in texts:
+                h1, h2, s, e = _window_cols(t, k)
+                hs.append(h1)
+                h2s.append(h2)
+                ss.append(s)
+                es.append(e)
+                counts.append(len(h1))
+            rep = np.repeat(np.arange(len(texts)), counts)
+            out = pa.record_batch(
+                [
+                    ids.take(pa.array(rep)),
+                    pa.array(np.concatenate(hs) if hs else np.empty(0, np.int64)),
+                    pa.array(np.concatenate(h2s) if h2s else np.empty(0, np.int64)),
+                    pa.array(
+                        (np.concatenate(ss) if ss else np.empty(0, np.int64)).astype(
+                            np.int32
+                        )
+                    ),
+                    pa.array(
+                        (np.concatenate(es) if es else np.empty(0, np.int64)).astype(
+                            np.int32
+                        )
+                    ),
+                ],
+                names=[id_field, "h", "h2", "s", "e"],
+            )
+            yield out
+
+    return _gen
 
 
 def _cut_spans_udf(text_col: str = "text"):
     """Merge overlapping char spans and cut them from the text —
-    Arrow pass over (text, spans)."""
+    Arrow pass over (text, spans).  Whitespace is collapsed ONLY at
+    the cut seams (single space per seam, seam-adjacent runs
+    stripped); untouched bytes are preserved exactly."""
 
     @F.pandas_udf("struct<text: string, n_removed_chars: int, n_spans: int>")
     def _cut(texts: pd.Series, spans: pd.Series) -> pd.DataFrame:
@@ -124,8 +216,11 @@ def _cut_spans_udf(text_col: str = "text"):
                 cut += e - s
                 pos = e
             parts.append(t[pos:])
-            # collapse whitespace runs the cuts leave behind
-            new_texts.append(" ".join("".join(parts).split()))
+            out = parts[0]
+            for p in parts[1:]:
+                left, right = out.rstrip(), p.lstrip()
+                out = left + (" " if left and right else "") + right
+            new_texts.append(out)
             n_chars.append(cut)
             n_spans.append(len(merged))
         return pd.DataFrame(
@@ -146,18 +241,23 @@ def substring_dedup(
     occurrence at min(doc_id, start_char).  Returns the input columns
     with ``text`` rewritten plus ``n_removed_chars``/``n_spans``.
 
-    ``max_occurrences``: a window hash at more positions than this is
+    ``max_occurrences``: a window at more positions than this is
     degenerate boilerplate — removed from EVERY doc (no keeper) and
     counted in the spans like any other cut."""
-    win = _windows_udf(k)
-    wins = df.select(
-        F.col(id_col), F.explode(win(F.col(text_col))).alias("w")
-    ).select(
-        id_col, F.col("w.h").alias("h"), F.col("w.s").alias("s"), F.col("w.e").alias("e")
+    id_type = dict(df.dtypes)[id_col]
+    wins = df.select(id_col, text_col).mapInArrow(
+        _windows_map_arrow(k, id_col),
+        schema=f"{id_col} {id_type}, h bigint, h2 bigint, s int, e int",
     )
-    # shuffle 1 (on the hash): occurrence count + global keeper
+    # persisted: the tokenize+hash pass feeds the occurrence
+    # aggregation AND the marked-span join below — without this the
+    # python pass (and the source scan) runs twice per consume.
+    # Caller-owned lifetime (the minhash-signature convention).
+    wins = wins.persist()
+    # shuffle 1 (on the 128-bit (h, h2) key): occurrence count +
+    # global keeper
     dup = (
-        wins.groupBy("h")
+        wins.groupBy("h", "h2")
         .agg(
             F.count("*").alias("occ"),
             F.min(F.struct(F.col(id_col).alias("kid"), F.col("s").alias("ks"))).alias(
@@ -166,7 +266,7 @@ def substring_dedup(
         )
         .where(F.col("occ") > 1)
     )
-    marked = wins.join(dup, "h").where(
+    marked = wins.join(dup, ["h", "h2"]).where(
         (F.col("occ") > max_occurrences)
         | (F.col(id_col) != F.col("keep.kid"))
         | (F.col("s") != F.col("keep.ks"))

@@ -252,11 +252,15 @@ _IPV4_RE = (
 
 def pii_counts_col(text: Column) -> Column:
     """(n_emails, n_phones, n_ipv4) per document — the audit signal a
-    scrub pass reports before/after."""
+    scrub pass reports before/after.  ``regexp_count`` (r7): counts
+    non-overlapping matches WITHOUT materializing the match-string
+    array ``size(regexp_extract_all(...))`` built per row — same
+    values (both count non-overlapping matches of the same pattern),
+    no per-match string allocation."""
     return F.struct(
-        F.size(F.regexp_extract_all(text, F.lit(_EMAIL_RE), 0)).cast("bigint").alias("n_emails"),
-        F.size(F.regexp_extract_all(text, F.lit(_PHONE_RE), 0)).cast("bigint").alias("n_phones"),
-        F.size(F.regexp_extract_all(text, F.lit(_IPV4_RE), 0)).cast("bigint").alias("n_ipv4"),
+        F.regexp_count(text, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(text, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(text, F.lit(_IPV4_RE)).cast("bigint").alias("n_ipv4"),
     )
 
 

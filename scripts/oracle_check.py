@@ -54,7 +54,10 @@ def _compare(sdf: pd.DataFrame, ddf: pd.DataFrame) -> str | None:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    # sf0.01 is the driver's correctness scale (sf0.001 differs for
+    # recall-dependent ANN rows: sim_ivf_ann's nprobe=12/nlist=32 has
+    # recall 1.0 at sf0.01 — the gated config — but not at sf0.001)
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()

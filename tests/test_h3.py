@@ -406,6 +406,36 @@ class TestAdaptiveCovering:
         assert "BroadcastHashJoin" in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_pip_join_h3_polar_bbox_parity(self, spark):
+        """ADVICE r6 (high): the covering clip's longitude margin was
+        floored at cos⁻¹ = 20 (max(0.05, cos(lat))), which above ~87°
+        dropped covering cells whose hexes still contain in-bbox
+        points — candidates the exact refine can never recover.  A
+        dense synthetic point grid over (0, 88, 40, 89.5) must join
+        identically through H3 and quadgrid."""
+        import pyspark.sql.functions as F
+
+        from earth_data_kit_spark.operators.spatial_join import Polygon, pip_join
+        from earth_data_kit_spark.operators.spatial_join_h3 import pip_join_h3
+
+        rng = np.random.default_rng(31)
+        n = 4000
+        pts = spark.createDataFrame(
+            list(
+                zip(
+                    range(n),
+                    rng.uniform(-30.0, 70.0, n).tolist(),   # lon straddles the box
+                    rng.uniform(85.0, 90.0, n).tolist(),    # polar band
+                )
+            ),
+            "page_id bigint, lon double, lat double",
+        ).withColumn("url", F.concat(F.lit("u"), F.col("page_id")))
+        polys = [Polygon(code="PP", name="polar", bbox=(0.0, 88.0, 40.0, 89.5))]
+        a = pip_join(pts, polys, res=6).select("page_id", "code")
+        c = pip_join_h3(pts, polys, res=4).select("page_id", "code")
+        assert c.exceptAll(a).count() == 0 and a.exceptAll(c).count() == 0
+        assert c.count() > 0
+
     def test_stored_multires_layout_zero_python_pages_side(
         self, spark, pages_df, tmp_path
     ):

@@ -14,7 +14,8 @@ from earth_data_kit_spark.operators.substring_dedup import substring_dedup
 def _oracle(docs: dict[int, str], k: int) -> dict[int, str]:
     """Literal-tuple reimplementation of the paper's semantics:
     duplicated k-token windows (by token content), keeper at
-    (min doc, min start), merged spans cut, whitespace collapsed."""
+    (min doc, min start), merged spans cut, whitespace collapsed
+    ONLY at the cut seams (untouched bytes preserved — ADVICE r6)."""
     toks = {
         d: [(m.start(), m.end(), m.group()) for m in re.finditer(r"[^\s]+", t)]
         for d, t in docs.items()
@@ -47,7 +48,11 @@ def _oracle(docs: dict[int, str], k: int) -> dict[int, str]:
             parts.append(t[pos:s])
             pos = e
         parts.append(t[pos:])
-        out[d] = " ".join("".join(parts).split())
+        o = parts[0]
+        for p in parts[1:]:
+            left, right = o.rstrip(), p.lstrip()
+            o = left + (" " if left and right else "") + right
+        out[d] = o
     return out
 
 

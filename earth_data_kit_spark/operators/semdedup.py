@@ -38,6 +38,27 @@ from pyspark.sql import functions as F
 ROUND_C = 6  # centroid / cosine rounding — part of the determinism spec
 
 
+def recommended_k(n_rows: int, pair_budget: int = 10_000_000_000) -> int:
+    """Cluster-count sizing rule (VERDICT r6 task 6): the pair search
+    computes Σ|c|·(|c|−1)/2 cosine pairs, ≈ n²/(2k) under balanced
+    clusters, so holding the TOTAL pair work to ``pair_budget``
+    requires
+
+        k ≥ n² / (2 · pair_budget)      ⇔      E[|c|] ≤ √(2·budget·…/n)…
+
+    equivalently E[|c|] = n/k ≤ 2·pair_budget/n.  The ``max_cluster``
+    cap alone is NOT a cost bound — a cap-sized 100k cluster is still
+    5×10⁹ pairs; the cap protects against a single degenerate cluster,
+    this rule sizes k so the EXPECTED work fits the budget.  Numbers
+    for the 100 TB posture are in SCALE.md §semdedup.
+
+    Default budget 10¹⁰ pairs ≈ a few core-hours of fused
+    dot-products.  Returns k clamped to ≥ 16."""
+    import math
+
+    return max(16, math.ceil(n_rows * n_rows / (2.0 * float(pair_budget))))
+
+
 def _sq_dist(v, c):
     return F.aggregate(
         F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
@@ -134,7 +155,13 @@ def semdedup(
     when the assignment side is small) and never materializes pairs
     for clusters over ``max_cluster`` rows — those are left
     undeduped (is_dup false) rather than exploding |c|² at skew; cap
-    hits are visible via the ``capped`` column."""
+    hits are visible via the ``capped`` column.
+
+    Sizing ``k`` (the cap is a skew guard, not a cost bound): choose
+    ``k ≥ n²/(2·pair_budget)`` — see ``recommended_k`` and the
+    SCALE.md §semdedup arithmetic — so the expected Σ|c|² pair work
+    fits the budget; tests/test_semdedup.py pins the pair-count
+    bound."""
     assign = kmeans_assign(emb, k, iters, vec_col, id_col).cache()
     sizes = assign.groupBy("cluster").count()
     a = (

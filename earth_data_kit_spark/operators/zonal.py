@@ -168,34 +168,36 @@ def zonal_stats(
         wkt_cache: dict[str, tuple] = {}
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                arr = _decode(r).astype(np.float64)
-                nod = r["nodataval"]
+            for r in pdf.itertuples(index=False):
+                arr = _decode(r._asdict()).astype(np.float64)
+                nod = r.nodataval
                 valid = np.ones(arr.shape, dtype=bool)
                 if nod is not None and not np.isnan(nod):
                     valid &= arr != nod
                 # pixel-center coordinates of this block's window
-                xs = x0 + (np.arange(r["xoff"], r["xoff"] + r["xsize"]) + 0.5) * xres
-                ys = y0 + (np.arange(r["yoff"], r["yoff"] + r["ysize"]) + 0.5) * yres
-                lon, lat = np.meshgrid(xs, ys)
-                if r["wkt"] is None or (isinstance(r["wkt"], float) and np.isnan(r["wkt"])):
-                    mask = (
-                        (lon >= r["pxmin"]) & (lon <= r["pxmax"])
-                        & (lat >= r["pymin"]) & (lat <= r["pymax"])
-                    )
+                xs = x0 + (np.arange(r.xoff, r.xoff + r.xsize) + 0.5) * xres
+                ys = y0 + (np.arange(r.yoff, r.yoff + r.ysize) + 0.5) * yres
+                if r.wkt is None or (isinstance(r.wkt, float) and np.isnan(r.wkt)):
+                    # rectangle: 1-D interval tests broadcast to the
+                    # 2-D mask — same boolean result as the meshgrid
+                    # form without materializing two float grids (r7)
+                    xm = (xs >= r.pxmin) & (xs <= r.pxmax)
+                    ym = (ys >= r.pymin) & (ys <= r.pymax)
+                    mask = ym[:, None] & xm[None, :]
                 else:
                     shell, holes = wkt_cache.setdefault(
-                        r["wkt"], geom.parse_wkt_polygon(r["wkt"])
+                        r.wkt, geom.parse_wkt_polygon(r.wkt)
                     )
+                    lon, lat = np.meshgrid(xs, ys)
                     mask = geom.point_in_polygon(
                         lon.ravel(), lat.ravel(), shell, holes
                     ).reshape(arr.shape)
-                sel = arr[mask & valid] * r["scale"] + r["offset"]
+                sel = arr[mask & valid] * r.scale + r.offset
                 if sel.size == 0:
                     continue
                 out.append(
                     {
-                        "code": r["code"], "band": r["band"],
+                        "code": r.code, "band": r.band,
                         "s": float(sel.sum()), "s2": float((sel * sel).sum()),
                         "n": int(sel.size),
                         "mn": float(sel.min()), "mx": float(sel.max()),

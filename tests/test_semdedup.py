@@ -149,3 +149,32 @@ def test_no_python_in_assignment_plan(spark):
         .toString()
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_recommended_k_bounds_pairs(spark):
+    """The k-sizing rule (SCALE.md §semdedup): with k =
+    recommended_k(n, budget), the ACTUAL within-cluster pair count on
+    a real clustering stays within a small factor of the budget —
+    the cap alone (a skew guard) bounds nothing."""
+    from earth_data_kit_spark.operators.semdedup import (
+        kmeans_assign,
+        recommended_k,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    budget = 4_000
+    k = recommended_k(n, budget)
+    # the rule's own arithmetic: balanced-cluster expectation fits
+    assert n * n / (2.0 * k) <= budget
+    sizes = (
+        kmeans_assign(emb, k=k, iters=2)
+        .groupBy("cluster")
+        .count()
+        .toPandas()["count"]
+    )
+    pairs = int((sizes * (sizes - 1) // 2).sum())
+    # real clusters are imbalanced; allow 5x the balanced expectation
+    assert pairs <= 5 * budget, (k, pairs)
+    # and the rule is monotone: a bigger corpus demands more clusters
+    assert recommended_k(10 * n, budget) >= k

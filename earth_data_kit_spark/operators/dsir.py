@@ -25,7 +25,7 @@ models:
    and cluster sizes.
 
 Scale shape: two bounded fit passes (sample-scan + ≤n_buckets-row
-shuffle), one map-only scoring pass, one top-n (bucketed two-level
+shuffle), one map-only scoring pass, one top-n (map-side-pruned window
 rank via operators/knn._topk).  No all-pairs, no driver loop.
 """
 
@@ -171,9 +171,10 @@ def dsir_resample(
         F.col("dsir_log_w") / F.lit(float(temperature))
         + _gumbel_col(F.col(id_col), salt),
     )
-    # global top-n: bucketed two-level rank (a single constant query
-    # group — reuse _topk with one pseudo-query so the level-1 prune
-    # spreads over hash buckets instead of one partition)
+    # global top-n: _topk with one pseudo-query — the row_number<=n
+    # filter plans a map-side WindowGroupLimit, so each partition
+    # forwards only its own top-n into the single final rank (r7:
+    # the previous bucketed two-level rank shuffled B x more rows)
     ranked = _topk(
         scored.withColumn("_q", F.lit(1)),
         n,

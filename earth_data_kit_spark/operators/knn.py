@@ -12,8 +12,9 @@ design — a true table-to-table JOIN (VERDICT r4 task 1):
      shuffle-on-cell for query tables too big to broadcast
      (``broadcast_queries=False``);
   3. exact haversine distance as a codegen'd Column expression;
-  4. two-level ``row_number()`` top-k (``_topk``) — the only
-     shuffle, bucket-salted against dense-cell skew.
+  4. ``row_number()`` top-k (``_topk``) — one window whose ≤k
+     filter is pruned MAP-SIDE by WindowGroupLimit, so the only
+     shuffle carries ≤ k rows per (query, map partition).
 
 Auto-grow no longer collects per-query stats: the grow decision is a
 Column over a per-query aggregate joined back to the query table
@@ -250,7 +251,7 @@ def knn_join(
         while auto_grow and ring < max_ring:
             # ONE job per iteration: per-query candidate count (plain
             # hash agg — map-side partial, no skew) and k-th distance
-            # (via the two-level bucketed top-k, NOT a bare window
+            # (via _topk's map-side-pruned window, NOT an unpruned window
             # over all candidates, which would funnel a dense cell's
             # millions of rows into one partition), LEFT-joined back
             # to the query table (zero-candidate queries must surface
@@ -310,31 +311,31 @@ def _topk(
     order_col: str = "dist_m",
     descending: bool = False,
 ) -> DataFrame:
-    """Top-k per query as a two-level window — entirely JVM-side.
+    """Top-k per query — one window, pruned map-side by Spark's
+    ``WindowGroupLimit`` (SPARK-37099, 3.5+): a ``row_number() ≤ k``
+    filter makes every MAP partition sort its slice and keep only its
+    own top-k per query BEFORE the exchange, so the per-query final
+    partition receives ≤ k·M rows (M = map partitions), never the
+    full candidate set — the skew funnel a bare window had on 3.4-.
 
-    A bare ``row_number() over (partition by query_id)`` shuffles
-    EVERY candidate into ≤|queries| partitions — a parallelism
-    ceiling and a skew trap (dense-cell queries).  Level 1 windows
-    over (query_id, pmod(xxhash64(id), B)): the shuffle spreads each
-    query's candidates across B uniform buckets (no skew, B·|queries|
-    parallelism) and keeps k per bucket; level 2 ranks the ≤ k·B
-    survivors per query — the partial/final pattern applied to
-    ranking.  Both stages are codegen'd window sorts; the earlier
-    Arrow ``mapInPandas`` prune did the same reduction at Python
-    speed and was ~15× slower on dense candidates (BENCH r2).
+    r7 measurement (plans/r07/knn_{before,after}.txt; 16.4M candidates,
+    two of ten queries hot): the r2-era two-level bucketed form —
+    level-1 window over (query_id, pmod(xxhash64(id), B)) then a
+    final rank — measured 3.30 s vs 2.14 s for this single window,
+    because WindowGroupLimit already does the map-side reduction the
+    bucket level re-implemented, while the bucket level let k·B·M
+    rows through its exchange (B× more shuffle) and paid a second
+    sort of k·B·M rows.  At-scale arithmetic: with M = 10⁶ map
+    partitions and k = 10 the final per-query partition is ≤ 10⁷
+    narrow rows (~240 MB) — one bounded sort task per query, and
+    strictly FEWER shuffled bytes than the two-level form's k·B·M.
+    ``prune_buckets`` is kept for signature compatibility (unused).
     """
     oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
     order = [oc, F.col(id_col).asc()]
-    w1 = Window.partitionBy(qid_col, "pbkt").orderBy(*order)
-    pruned = (
-        scored.withColumn("pbkt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(prune_buckets)))
-        .withColumn("prn", F.row_number().over(w1))
-        .where(F.col("prn") <= k)
-        .drop("pbkt", "prn")
-    )
-    w2 = Window.partitionBy(qid_col).orderBy(*order)
+    w = Window.partitionBy(qid_col).orderBy(*order)
     return (
-        pruned.withColumn("rank", F.row_number().over(w2))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(qid_col, "rank", id_col, order_col)
     )

@@ -229,7 +229,7 @@ def ivfpq_query_stored(
     partition-pruned scan of the CODES table (M smallints/vector —
     the compressed hot path) ⋈ broadcast probe table → ADC scoring
     UDF (LUT per (query, list) per batch, M gathers per candidate) →
-    bucketed two-level top-(k·refine_mult) → optional exact refine:
+    map-side-pruned top-(k·refine_mult) → optional exact refine:
     the shortlist (|Q|·k·refine_mult rows, broadcastable) joins the
     full-vector table pruned TO THE SAME probed partitions, exact
     cosine re-rank to k.

@@ -13,7 +13,7 @@ icosahedral hex grid, with the same engine shapes as the quadgrid
 * candidate join: broadcast under a bounded query batch,
   shuffle-on-cell above it;
 * refine: codegen'd haversine; top-k via the shared bucketed
-  two-level ``knn._topk`` (skew-safe).
+  map-side-pruned ``knn._topk`` (skew-safe).
 
 Exactness contract: ``cover_cap`` is a guaranteed SUPERSET of the
 cells of all points within the cover radius (grid/h3.py — Lipschitz-
@@ -146,7 +146,7 @@ def knn_join_h3(
             scored0 = _cand(radius_m).withColumn("dist_m", dist)
             n_df = scored0.groupBy("query_id").agg(F.count("*").alias("n"))
             # skew-safe probe (knn.py pattern): hash-agg count + the
-            # bucketed two-level top-k for the k-th distance — never a
+            # map-side-pruned top-k for the k-th distance — never a
             # bare per-query window over every candidate
             dk_df = (
                 _topk(scored0.select("query_id", id_col, "dist_m"), k, id_col)

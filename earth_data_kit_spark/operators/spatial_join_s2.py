@@ -193,7 +193,7 @@ def knn_join_s2(
 ) -> DataFrame:
     """Top-K nearest points per query over the REAL S2 index — the
     north rule's "kNN via k-ring expansion with distance re-rank"
-    running on genuine S2 cells; two-level JVM top-k shared with the
+    running on genuine S2 cells; map-side-pruned JVM top-k shared with the
     quadgrid ``knn.knn_join``.  ``queries`` is a DataFrame
     ``(query_id, qlat, qlon)`` (rings expand via an Arrow pandas UDF
     wherever the query rows live — table-to-table join) or a python
@@ -232,7 +232,7 @@ def knn_join_s2(
     try:
         while auto_grow and ring < max_ring:
             # skew-safe probe (mirrors knn.knn_join): hash-agg count +
-            # two-level bucketed top-k for the k-th distance — never a
+            # map-side-pruned top-k for the k-th distance — never a
             # bare per-query window over every candidate
             scored0 = _cand(ring).withColumn("dist_m", dist)
             n_df = scored0.groupBy("query_id").agg(F.count("*").alias("n"))

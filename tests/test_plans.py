@@ -66,11 +66,16 @@ def test_knn_candidate_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     # the whole kNN pipeline — cell index, ring join, haversine,
-    # two-level top-k — is JVM-only (the old Arrow prune was the
-    # bench bottleneck on dense candidates)
+    # top-k — is JVM-only (the old Arrow prune was the bench
+    # bottleneck on dense candidates)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    # two-level prune: two window sorts partitioned by query
-    assert plan.count("Window") >= 2
+    # r7 top-k shape: ONE window whose row_number<=k filter plans a
+    # map-side WindowGroupLimit (SPARK-37099) — each scan partition
+    # keeps only its own top-k per query BEFORE the exchange (the
+    # r2-era two-level bucketed prune re-implemented this reduction
+    # and measured slower; see OPTIMIZATION_r07.md)
+    assert "WindowGroupLimit" in plan, plan
+    assert "Window" in plan
 
 
 def test_bucketed_join_is_colocated_no_exchange(spark, tmp_path):

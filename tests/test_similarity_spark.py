@@ -165,12 +165,13 @@ def test_ivf_stored_index_pure_jvm_and_exact_at_full_probe(spark, emb, queries, 
     probe_stage = plan.split("ArrowEvalPython")[1].split("\n")[0]
     assert "qvec" in probe_stage and "embedding" not in probe_stage
     assert "PartitionFilters" in plan and "list_id" in plan
-    # r6 (VERDICT r5 task 5): top-k is knn._topk's bucketed TWO-LEVEL
-    # window — level 1 partitions (query, hash-bucket), level 2 ranks
-    # the survivors — never a single-level per-query window that
-    # funnels nprobe*(corpus/nlist) candidate rows into one partition
-    assert plan.count("RunningWindowFunction") >= 2 or plan.count("Window") >= 2, plan
-    assert "pbkt" in plan, "bucketed prune level missing from stored-ANN plan"
+    # r7: top-k is knn._topk's single window with a MAP-SIDE
+    # WindowGroupLimit (SPARK-37099) — every scan partition keeps only
+    # its own top-k per query before the exchange, so a dense probed
+    # list never funnels its full candidate set into one partition
+    # (the r6 two-level bucketed prune duplicated this reduction and
+    # shuffled B x more surviving rows; see OPTIMIZATION_r07.md)
+    assert "WindowGroupLimit" in plan, plan
 
     exp = oracle_topk(emb.toPandas(), queries.toPandas(), 10)
     by_q = {}

@@ -251,8 +251,13 @@ def substring_dedup(
     )
     # persisted: the tokenize+hash pass feeds the occurrence
     # aggregation AND the marked-span join below — without this the
-    # python pass (and the source scan) runs twice per consume.
-    # Caller-owned lifetime (the minhash-signature convention).
+    # python pass (and the source scan) runs twice per consume.  The
+    # cache is SCOPED to this call: the spans table below is
+    # materialized eagerly (localCheckpoint — the dup_clusters
+    # iterative convention) and wins is unpersisted before returning,
+    # so repeated invocations in one JVM never accumulate
+    # corpus-token-sized cached tables (r7; at 100 TB this stage is a
+    # checkpointed table, see module docstring).
     wins = wins.persist()
     # shuffle 1 (on the 128-bit (h, h2) key): occurrence count +
     # global keeper
@@ -271,10 +276,14 @@ def substring_dedup(
         | (F.col(id_col) != F.col("keep.kid"))
         | (F.col("s") != F.col("keep.ks"))
     )
-    # shuffle 2 (on doc id): spans per doc, then one Arrow cut pass
+    # shuffle 2 (on doc id): spans per doc — materialized NOW
+    # (eager localCheckpoint: output is O(docs-with-cuts), tiny next
+    # to the window table) so the wins cache can be released before
+    # the lazy rebuild is returned
     spans = marked.groupBy(id_col).agg(
         F.collect_list(F.struct("s", "e")).alias("_spans")
-    )
+    ).localCheckpoint()
+    wins.unpersist()
     cut = _cut_spans_udf(text_col)
     joined = df.join(spans, id_col, "left")
     out = joined.withColumn("_c", cut(F.col(text_col), F.col("_spans")))

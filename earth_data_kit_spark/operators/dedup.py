@@ -81,24 +81,26 @@ def minhash_lsh_pairs(
 
     a = sigs.alias("a")
     b = sigs.alias("b")
-    cand = (
+    # est_jaccard + threshold run MAP-SIDE in the band-join stage,
+    # BEFORE the (id_a, id_b) dedup exchange: est is functionally
+    # dependent on the pair (sig is a function of id), so filtering
+    # and projecting first changes nothing about the output while the
+    # dedup exchange shuffles 3 narrow columns for surviving pairs
+    # only — instead of both 64-slot signature arrays (~1 KB/row) for
+    # every candidate (guide §2.3, r7)
+    est = (
+        F.size(F.filter(F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y), lambda v: v))
+        / F.lit(float(num_perm))
+    )
+    return (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            est.alias("est_jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-        / F.lit(float(num_perm))
-    )
-    return (
-        cand.withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -146,8 +148,11 @@ def simhash_pairs(
             F.col("b.id").alias("id_b"),
             F.bit_count(xor).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # hamming is functionally dependent on the pair, so the ≤ cap
+        # filters map-side BEFORE the dedup exchange (fewer rows
+        # shuffled; identical output — guide §2.3, r7)
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -343,17 +343,22 @@ def embedding_neardup_pairs(
     bucketed = bucketed.join(F.broadcast(sizes.select("bucket")), "bucket")
     a = bucketed.alias("a")
     b = bucketed.alias("b")
+    # cosine + threshold run MAP-SIDE in the bucket-join stage, BEFORE
+    # the (id_a, id_b) dedup exchange: cosine is functionally dependent
+    # on the pair (v is a function of id), so the dedup exchange moves
+    # 3 narrow columns of surviving pairs instead of both embedding
+    # vectors for every candidate — and the pair dedup plans as a
+    # HashAggregate instead of SortAggregate+Sort (guide §2.3, r7;
+    # same rework as minhash_lsh_pairs above)
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
+            cosine_col(F.col("a.v"), F.col("b.v")).alias("cosine"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", cosine_col(F.col("va"), F.col("vb")).alias("cosine"))
         .where(F.col("cosine") >= sim_threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

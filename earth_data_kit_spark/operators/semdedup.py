@@ -73,13 +73,6 @@ def _dot(a, b):
     )
 
 
-def _centroids_df(spark, cents):
-    return spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-        "cluster int, cvec array<double>",
-    )
-
-
 def kmeans_assign(
     emb: DataFrame,
     k: int = 16,
@@ -90,11 +83,13 @@ def kmeans_assign(
     """Deterministic distributed Lloyd's — returns ``id_col, cluster``
     (plus ``_v``, the double-cast vector, for downstream reuse).
 
-    Executor math is pure Column (zip_with/aggregate fold — JVM
-    codegen, no Python); the driver holds only the k×d centroid
-    matrix between iterations (two jobs per iteration: the argmin
-    assignment and the k×d partial-mean collect)."""
-    spark = emb.sparkSession
+    Executor math is pure Column (zip_with/aggregate folds —
+    JVM-side; note HOFs are CodegenFallback, i.e. interpreted eval,
+    but there is no Python crossing); the driver holds only the k×d
+    centroid matrix between iterations.  The argmin assignment is a
+    shuffle-free map-side projection over centroid literals (r7), so
+    the only exchange per iteration is the k×d-bounded partial-mean
+    aggregation."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = emb.select(F.col(id_col), v.alias("_v")).cache()
     cents = [
@@ -102,17 +97,35 @@ def kmeans_assign(
         for r in base.orderBy(id_col).limit(k).collect()
     ]
     d = len(cents[0])
+
+    # Map-side argmin (r7, guide §2.4 remove shuffles outright): the
+    # centroids are k×d driver-held floats, so the nearest-centroid
+    # assignment is a pure projection — an array of (d2, cluster)
+    # structs over centroid LITERALS reduced by array_min, whose
+    # lexicographic struct ordering is exactly the old
+    # min(struct(_d2, cluster)) tie-break.  The previous shape
+    # (crossJoin(broadcast(centroids)) → groupBy(id)) shuffled the
+    # whole corpus WITH its vectors once per iteration plus once for
+    # the final assignment; now the only per-iteration exchange is
+    # the k×d-bounded partial-mean aggregation.  Same doubles, same
+    # fold order ⇒ bit-identical distances (dd_semdedup stays
+    # oracle-gated against the DuckDB k-means replay).
+    def _argmin_cluster(cs):
+        return F.array_min(
+            F.array(*[
+                F.struct(
+                    _sq_dist(
+                        F.col("_v"), F.array(*[F.lit(float(x)) for x in c])
+                    ).alias("_d2"),
+                    F.lit(i).alias("cluster"),
+                )
+                for i, c in enumerate(cs)
+            ])
+        )["cluster"]
+
     for _ in range(iters):
-        cdf = _centroids_df(spark, cents)
-        assign = (
-            base.crossJoin(F.broadcast(cdf))
-            .withColumn("_d2", _sq_dist(F.col("_v"), F.col("cvec")))
-            .groupBy(id_col)
-            .agg(
-                F.min(F.struct("_d2", "cluster")).alias("_m"),
-                F.first("_v").alias("_v"),
-            )
-            .select(id_col, F.col("_m.cluster").alias("cluster"), "_v")
+        assign = base.select(
+            F.col(id_col), _argmin_cluster(cents).alias("cluster"), "_v"
         )
         means = (
             assign.select("cluster", F.posexplode("_v").alias("pos", "val"))
@@ -126,16 +139,8 @@ def kmeans_assign(
             got.setdefault(r["cluster"], [0.0] * d)[r["pos"]] = r["m"]
         new.update(got)
         cents = [new[i] for i in range(k)]
-    cdf = _centroids_df(spark, cents)
-    return (
-        base.crossJoin(F.broadcast(cdf))
-        .withColumn("_d2", _sq_dist(F.col("_v"), F.col("cvec")))
-        .groupBy(id_col)
-        .agg(
-            F.min(F.struct("_d2", "cluster")).alias("_m"),
-            F.first("_v").alias("_v"),
-        )
-        .select(id_col, F.col("_m.cluster").alias("cluster"), "_v")
+    return base.select(
+        F.col(id_col), _argmin_cluster(cents).alias("cluster"), "_v"
     )
 
 

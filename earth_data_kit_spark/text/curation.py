@@ -250,26 +250,61 @@ _IPV4_RE = (
 )
 
 
+def _has_at(text: Column) -> Column:
+    # any email match contains a literal '@' — Contains is a plain
+    # codegen'd substring scan, far cheaper than the pattern attempt
+    # machinery at every position of an @-less document
+    return text.contains("@")
+
+
+def _has_digit(text: Column) -> Column:
+    # any phone / IPv4 match contains a digit; a bare char-class
+    # rlike early-exits at the first digit
+    return text.rlike("[0-9]")
+
+
 def pii_counts_col(text: Column) -> Column:
     """(n_emails, n_phones, n_ipv4) per document — the audit signal a
     scrub pass reports before/after.  ``regexp_count`` (r7): counts
     non-overlapping matches WITHOUT materializing the match-string
     array ``size(regexp_extract_all(...))`` built per row — same
     values (both count non-overlapping matches of the same pattern),
-    no per-match string allocation."""
+    no per-match string allocation.
+
+    Anchor-char guards (r7, guide §1.2 per-task work): every email
+    match contains '@' and every phone/IPv4 match contains a digit,
+    so the expensive pattern scan is short-circuited by a literal
+    contains / one-char-class probe when the anchor is absent — the
+    common case for most web documents.  NULL text still yields NULL
+    counts (the guard's otherwise-branch preserves regexp_count's
+    null semantics)."""
+
+    def _guarded(anchor: Column, pat: str) -> Column:
+        return (
+            F.when(text.isNull(), F.lit(None).cast("int"))
+            .when(anchor, F.regexp_count(text, F.lit(pat)))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
+
     return F.struct(
-        F.regexp_count(text, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
-        F.regexp_count(text, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
-        F.regexp_count(text, F.lit(_IPV4_RE)).cast("bigint").alias("n_ipv4"),
+        _guarded(_has_at(text), _EMAIL_RE).alias("n_emails"),
+        _guarded(_has_digit(text), _PHONE_RE).alias("n_phones"),
+        _guarded(_has_digit(text), _IPV4_RE).alias("n_ipv4"),
     )
 
 
 def redact_pii_col(text: Column) -> Column:
     """Replace matches with typed placeholder tokens (emails first —
-    an email's host part must not be half-eaten by the IP rule)."""
-    c = F.regexp_replace(text, _EMAIL_RE, "<EMAIL>")
-    c = F.regexp_replace(c, _IPV4_RE, "<IP>")
-    c = F.regexp_replace(c, _PHONE_RE, "<PHONE>")
+    an email's host part must not be half-eaten by the IP rule).
+    Same anchor-char guards as ``pii_counts_col``: a replace whose
+    pattern cannot match (no '@' / no digit) returns its input
+    unchanged, so skipping it is value-equal (NULL passes through
+    either way)."""
+    c = F.when(_has_at(text), F.regexp_replace(text, _EMAIL_RE, "<EMAIL>")).otherwise(text)
+    digits = _has_digit(text)
+    c = F.when(digits, F.regexp_replace(c, _IPV4_RE, "<IP>")).otherwise(c)
+    c = F.when(digits, F.regexp_replace(c, _PHONE_RE, "<PHONE>")).otherwise(c)
     return c
 
 

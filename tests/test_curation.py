@@ -92,6 +92,43 @@ def test_pii_redaction_and_counts(spark):
     assert "<IP>" in _one(spark, cu.redact_pii_col, "ping 192.168.0.12 now")
 
 
+def test_pii_anchor_guards_are_value_equal(spark):
+    """The r7 anchor-char guards (contains('@') / digit probe) must be
+    invisible: guarded output == bare regexp output for anchor-less,
+    anchor-bearing and NULL documents (incl. regexp_count's NULL
+    semantics)."""
+    rows = [
+        ("no anchors at all, plain prose",),
+        ("has at a.b@x.org but no digits in the rest",),
+        ("digits 415-555-0199 and 10.0.0.1 but no at-sign",),
+        ("both a@b.co and +1 415-555-0199",),
+        ("",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    bare_counts = F.struct(
+        F.regexp_count(F.col("text"), F.lit(cu._EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(cu._PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(F.col("text"), F.lit(cu._IPV4_RE)).cast("bigint").alias("n_ipv4"),
+    )
+    bare_redact = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), cu._EMAIL_RE, "<EMAIL>"),
+            cu._IPV4_RE, "<IP>",
+        ),
+        cu._PHONE_RE, "<PHONE>",
+    )
+    got = df.select(
+        cu.pii_counts_col(F.col("text")).alias("g_c"),
+        bare_counts.alias("b_c"),
+        cu.redact_pii_col(F.col("text")).alias("g_r"),
+        bare_redact.alias("b_r"),
+    ).collect()
+    for r in got:
+        assert r.g_c == r.b_c, (r.g_c, r.b_c)
+        assert r.g_r == r.b_r, (r.g_r, r.b_r)
+
+
 def test_curation_layer_is_jvm_only(spark):
     df = spark.createDataFrame([(1, "u", "t")], "id bigint, url string, text string").select(
         cu.canonical_url_col(F.col("url")),

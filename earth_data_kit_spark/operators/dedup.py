@@ -267,6 +267,10 @@ def dup_clusters(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("cluster").alias("neigh_min"))
         )
+        # the previous label rides along through the checkpoint so the
+        # convergence test is a filter-count over the materialized
+        # round — not a second full join against the old labels
+        # (removes one shuffle per round; r7, guide §2.4)
         new_labels = (
             labels.join(neigh, "id", "left")
             .select(
@@ -274,16 +278,12 @@ def dup_clusters(
                 F.least(
                     F.col("cluster"), F.coalesce("neigh_min", F.col("cluster"))
                 ).alias("cluster"),
+                F.col("cluster").alias("_prev"),
             )
             .localCheckpoint()  # eager: truncates lineage AND materializes
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("cluster") != F.col("_prev")).count()
+        labels = new_labels.select("id", "cluster")
         if changed == 0:
             break
     edges.unpersist()

@@ -147,15 +147,18 @@ def gopher_quality_cols(text: Column) -> Column:
         total_word_chars = F.length(F.translate(text, _WS_CHARS, ""))
         mean_word_len = F.when(n_words > 0, total_word_chars / n_words).otherwise(F.lit(0.0))
         alpha_frac = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
-        # symbol-to-word ratio: hashes and ellipses per word.  '#' by
-        # translate-delete; non-overlapping "..." runs by literal
-        # replace (a k-dot run yields floor(k/3) matches either way,
-        # and '…' is a distinct char so the counts never interact —
-        # the regex alternation r"\.\.\.|…" scanned the same way)
+        # symbol-to-word ratio: hashes and ellipses per word.  '#' and
+        # '…' counts are summed anyway, so ONE translate-delete of
+        # both chars yields their combined count (len·2 − a − b ==
+        # len − len_without_both, exact integer arithmetic — r7,
+        # merged from two passes); non-overlapping "..." runs by
+        # literal replace (a k-dot run yields floor(k/3) matches
+        # either way, and '…' is a distinct char so the counts never
+        # interact — the regex alternation r"\.\.\.|…" scanned the
+        # same way)
         n_symbols = (
-            (F.length(text) - F.length(F.translate(text, "#", "")))
+            (F.length(text) - F.length(F.translate(text, "#…", "")))
             + (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
-            + (F.length(text) - F.length(F.translate(text, "…", "")))
         )
         symbol_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(F.lit(0.0))
         n_lines = F.size(tl)
